@@ -1,0 +1,80 @@
+"""Point-to-node partition and kNN partition.
+
+Parity target: `experiments/lcrnet/modules/ops/pointcloud_partition.py:9-175`
+(the "fixed knn bug" variant: each fine point is assigned to its nearest
+node; a node's patch only contains points assigned to it, capped at
+``point_limit`` nearest, sentinel-padded).
+
+TPU design: one (M, N) distance matrix (M nodes <= a few hundred), scatter-max
+for node occupancy, masked top-k for the patch tables.  All static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from lcrnet_tpu.ops.pairwise_distance import pairwise_distance
+
+_BIG = 1.0e12
+
+
+def point_to_node_partition(
+    points: jnp.ndarray,
+    nodes: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    point_limit: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Partition points to their nearest node.
+
+    Args:
+      points: (N, 3) fine points (+ mask); nodes: (M, 3) coarse nodes (+ mask).
+      point_limit: static patch capacity K.
+
+    Returns:
+      point_to_node (N,) int32: nearest node per point (invalid points get M)
+      node_occupied (M,) bool: node has >= 1 assigned point
+      node_knn_indices (M, K) int32 in [0, N] (sentinel N on padding)
+      node_knn_masks (M, K) bool
+    """
+    n, m = points.shape[0], nodes.shape[0]
+    sq = pairwise_distance(nodes, points)  # (M, N)
+    sq = jnp.where(node_mask[:, None], sq, _BIG)
+    sq = jnp.where(point_mask[None, :], sq, _BIG)
+
+    point_to_node = jnp.argmin(sq, axis=0).astype(jnp.int32)  # (N,)
+    point_to_node = jnp.where(point_mask, point_to_node, m)
+
+    node_occupied = (
+        jnp.zeros((m + 1,), jnp.int32).at[point_to_node].max(point_mask.astype(jnp.int32))[:m]
+        > 0
+    )
+
+    # patch table: only distances of points assigned to this node survive
+    assign = point_to_node[None, :] == jnp.arange(m, dtype=jnp.int32)[:, None]  # (M, N)
+    patch_sq = jnp.where(assign, sq, _BIG)
+    neg, knn_idx = lax.top_k(-patch_sq, point_limit)  # nearest-first
+    knn_masks = neg > -_BIG / 2
+    knn_idx = jnp.where(knn_masks, knn_idx.astype(jnp.int32), n)
+    return point_to_node, node_occupied, knn_idx, knn_masks
+
+
+def knn_partition(
+    points: jnp.ndarray,
+    nodes: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k nearest points per node (reference `pointcloud_partition.py:36-58`).
+
+    Returns (knn_sq_distances, knn_indices, knn_masks), nearest-first.
+    """
+    sq = pairwise_distance(nodes, points)
+    sq = jnp.where(point_mask[None, :], sq, _BIG)
+    neg, idx = lax.top_k(-sq, k)
+    masks = jnp.logical_and(neg > -_BIG / 2, node_mask[:, None])
+    return -neg, idx.astype(jnp.int32), masks

@@ -1,0 +1,107 @@
+"""On-device radius neighbor search with fixed neighbor limit.
+
+Capability parity with the reference's nanoflann-based C++ extension
+(`utils/extensions/cpu/radius_neighbors/radius_neighbors_cpu.cpp:3-91` +
+`modules/ops/radius_search.py:7-27`): for each query point, the indices of
+support points within ``radius``, sorted by distance ascending, truncated to
+``limit`` columns, padded with a sentinel.
+
+TPU-native design: the KD-tree + per-sample host process pool becomes a
+blocked brute-force distance + top-k sweep that runs inside the jitted step.
+The (Q, S) distance matrix is never materialized — queries are processed in
+blocks via lax.map, each block doing one MXU matmul against all supports and
+a VPU top-k.  For KITTI-scale clouds (<= 20k support points) this is
+bandwidth-trivial and removes the reference's biggest architectural sin: CPU
+radius searches inside the forward pass (`backbone4.py:149-206`).
+
+Convention: returns (indices (Q, limit) int32, valid (Q, limit) bool).
+Indices of invalid slots are clamped to S (one-past-end sentinel, matching
+the reference) — gather-side code should use the mask, not the sentinel.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lcrnet_tpu.ops.pairwise_distance import pairwise_distance
+
+_BIG = 1.0e12
+
+
+def radius_search(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    s_mask: jnp.ndarray,
+    radius: float,
+    limit: int,
+    block_size: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-width radius neighbors of q_points among s_points.
+
+    Args:
+      q_points: (Q, 3); s_points: (S, 3); masks: validity per row.
+      radius: search radius.
+      limit: static neighbor-table width (nearest-first truncation — same
+        semantics as the reference's neighbor-limit column truncation).
+      block_size: query rows per map step (memory knob).
+
+    Returns:
+      indices (Q, limit) int32 in [0, S], valid (Q, limit) bool.
+    """
+    q, s = q_points.shape[0], s_points.shape[0]
+    r2 = radius * radius
+    s_invalid = jnp.logical_not(s_mask)
+
+    pad = (-q) % block_size
+    qp = jnp.pad(q_points, ((0, pad), (0, 0)))
+    num_blocks = qp.shape[0] // block_size
+    qp = qp.reshape(num_blocks, block_size, 3)
+
+    def one_block(block):
+        d2 = pairwise_distance(block, s_points)  # (B, S)
+        d2 = jnp.where(s_invalid[None, :], _BIG, d2)
+        d2 = jnp.where(d2 <= r2, d2, _BIG)
+        neg, idx = lax.top_k(-d2, limit)
+        return idx.astype(jnp.int32), neg > -_BIG / 2
+
+    idx, valid = lax.map(one_block, qp)
+    idx = idx.reshape(-1, limit)[:q]
+    valid = valid.reshape(-1, limit)[:q]
+    valid = jnp.logical_and(valid, q_mask[:, None])
+    idx = jnp.where(valid, idx, s)
+    return idx, valid
+
+
+def knn_search(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    s_mask: jnp.ndarray,
+    k: int,
+    block_size: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k nearest supports per query (no radius cut). Returns (d2, idx, valid)."""
+    q = q_points.shape[0]
+    s_invalid = jnp.logical_not(s_mask)
+
+    pad = (-q) % block_size
+    qp = jnp.pad(q_points, ((0, pad), (0, 0)))
+    num_blocks = qp.shape[0] // block_size
+    qp = qp.reshape(num_blocks, block_size, 3)
+
+    def one_block(block):
+        d2 = pairwise_distance(block, s_points)
+        d2 = jnp.where(s_invalid[None, :], _BIG, d2)
+        neg, idx = lax.top_k(-d2, k)
+        return -neg, idx.astype(jnp.int32), neg > -_BIG / 2
+
+    d2, idx, valid = lax.map(one_block, qp)
+    d2 = d2.reshape(-1, k)[:q]
+    idx = idx.reshape(-1, k)[:q]
+    valid = jnp.logical_and(valid.reshape(-1, k)[:q], q_mask[:, None])
+    return d2, idx, valid

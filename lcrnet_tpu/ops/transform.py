@@ -1,0 +1,117 @@
+"""SE(3) transformation utilities.
+
+Parity target: `experiments/lcrnet/modules/ops/transformation.py:7-253`.
+Functional JAX rewrite: no in-place fills, broadcast-friendly, works under
+jit/vmap/grad.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def apply_transform(points: jnp.ndarray, transform: jnp.ndarray,
+                    normals: Optional[jnp.ndarray] = None):
+    """Apply rigid transform(s) to points (and optionally normals).
+
+    Supports (*, 3) points with a (4, 4) transform, or (B, N, 3) points with
+    (B, 4, 4) transforms (B broadcastable), mirroring the reference
+    `transformation.py:7-63`.
+    """
+    if transform.ndim == 2:
+        rotation = transform[:3, :3]
+        translation = transform[:3, 3]
+        out = points @ rotation.T + translation
+        if normals is not None:
+            return out, normals @ rotation.T
+        return out
+    rotation = transform[..., :3, :3]
+    translation = transform[..., None, :3, 3]
+    out = jnp.einsum("...nc,...dc->...nd", points, rotation) + translation
+    if normals is not None:
+        return out, jnp.einsum("...nc,...dc->...nd", normals, rotation)
+    return out
+
+
+def apply_rotation(points: jnp.ndarray, rotation: jnp.ndarray,
+                   normals: Optional[jnp.ndarray] = None):
+    if rotation.ndim == 2:
+        out = points @ rotation.T
+        if normals is not None:
+            return out, normals @ rotation.T
+        return out
+    out = jnp.einsum("...nc,...dc->...nd", points, rotation)
+    if normals is not None:
+        return out, jnp.einsum("...nc,...dc->...nd", normals, rotation)
+    return out
+
+
+def get_rotation_translation_from_transform(transform: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return transform[..., :3, :3], transform[..., :3, 3]
+
+
+def get_transform_from_rotation_translation(rotation: jnp.ndarray, translation: jnp.ndarray) -> jnp.ndarray:
+    batch_shape = rotation.shape[:-2]
+    top = jnp.concatenate([rotation, translation[..., :, None]], axis=-1)  # (*, 3, 4)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=rotation.dtype), batch_shape + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def inverse_transform(transform: jnp.ndarray) -> jnp.ndarray:
+    rotation, translation = get_rotation_translation_from_transform(transform)
+    inv_rotation = jnp.swapaxes(rotation, -1, -2)
+    inv_translation = -jnp.einsum("...ij,...j->...i", inv_rotation, translation)
+    return get_transform_from_rotation_translation(inv_rotation, inv_translation)
+
+
+def compose_transforms(*transforms: jnp.ndarray) -> jnp.ndarray:
+    """Compose T = T_n @ ... @ T_1 (points transformed by T_1 first)."""
+    out = transforms[0]
+    for t in transforms[1:]:
+        out = t @ out
+    return out
+
+
+def skew_symmetric_matrix(v: jnp.ndarray) -> jnp.ndarray:
+    """(*, 3) -> (*, 3, 3) skew-symmetric matrices."""
+    zero = jnp.zeros_like(v[..., 0])
+    rows = [
+        jnp.stack([zero, -v[..., 2], v[..., 1]], axis=-1),
+        jnp.stack([v[..., 2], zero, -v[..., 0]], axis=-1),
+        jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def rodrigues_rotation_matrix(axes: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """R = I + sin(t) K + (1 - cos(t)) K^2 (reference `transformation.py:185-210`)."""
+    axes = _normalize(axes)
+    skews = skew_symmetric_matrix(axes)
+    sin = jnp.sin(angles)[..., None, None]
+    cos = jnp.cos(angles)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=axes.dtype), skews.shape)
+    return eye + sin * skews + (1.0 - cos) * (skews @ skews)
+
+
+def rodrigues_alignment_matrix(src_vectors: jnp.ndarray, tgt_vectors: jnp.ndarray) -> jnp.ndarray:
+    """Rotation aligning each src vector onto its tgt vector
+    (reference `transformation.py:213-253`), incl. the antiparallel fixup."""
+    src = _normalize(src_vectors)
+    tgt = _normalize(tgt_vectors)
+    axes = jnp.cross(src, tgt)
+    sin = jnp.linalg.norm(axes, axis=-1)
+    cos = jnp.sum(src * tgt, axis=-1)
+    axes_n = _normalize(axes)
+    skews = skew_symmetric_matrix(axes_n)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), skews.shape)
+    rot = eye + sin[..., None, None] * skews + (1.0 - cos)[..., None, None] * (skews @ skews)
+    flip = jnp.logical_and(sin == 0.0, cos < 0.0)
+    return jnp.where(flip[..., None, None], -rot, rot)
