@@ -1,0 +1,188 @@
+"""KPConv backbone: 4-stage encoder, vote encoder (stage 5), 3-stage decoder.
+
+Parity target: `experiments/lcrnet/backbone4.py:11-373`.
+
+TPU inversions vs the reference:
+  * The reference's Vote_Encoder round-trips to the CPU three times per
+    forward for nanoflann radius searches (`backbone4.py:149-206`) and runs a
+    Python O(M^2) greedy NMS loop (`modules/vote/vote.py:6-70`).  Here the
+    NMS is the device-resident parallel greedy (`ops/nms.py`) and the radius
+    searches are the on-device blocked kernels (`ops/radius_search.py`) — the
+    whole forward is one XLA computation.
+  * Ragged [pos..., anc...] stacking + lengths becomes a (2, N, ...) cloud
+    axis with masks; kept nodes are compacted into a static node budget.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lcrnet_tpu.models.kpconv import (
+    ConvBlock,
+    LastUnaryBlock,
+    ResidualBlock,
+    UnaryBlock,
+    batched_gather,
+    nearest_upsample,
+)
+from lcrnet_tpu.models.vote import VoteLayer
+from lcrnet_tpu.ops.nms import compact_by_mask, greedy_radius_nms
+from lcrnet_tpu.ops.radius_search import radius_search
+from lcrnet_tpu.ops.pyramid import Pyramid
+
+
+class KPEncoder(nn.Module):
+    """4-stage KPConv encoder (reference `backbone4.py:11-89`)."""
+
+    input_dim: int
+    init_dim: int
+    kernel_size: int
+    init_radius: float
+    init_sigma: float
+    group_norm: int
+
+    @nn.compact
+    def __call__(self, feats, pyramid: Pyramid):
+        """feats (B, N0, input_dim); pyramid holds per-stage (B, N_s, ...)."""
+        d, ks, r, sg, gn = self.init_dim, self.kernel_size, self.init_radius, self.init_sigma, self.group_norm
+        p, m = pyramid.points, pyramid.masks
+        nb, nbm = pyramid.neighbors, pyramid.neighbor_masks
+        sub, subm = pyramid.subsampling, pyramid.subsampling_masks
+
+        feats_list = []
+        x = ConvBlock(self.input_dim, d, ks, r, sg, gn)(feats, p[0], p[0], nb[0], nbm[0], m[0])
+        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0])
+        feats_list.append(x)
+
+        x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(x, p[1], p[0], sub[0], subm[0], m[1], m[0])
+        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1])
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1])
+        feats_list.append(x)
+
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(x, p[2], p[1], sub[1], subm[1], m[2], m[1])
+        x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2])
+        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2])
+        feats_list.append(x)
+
+        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn, strided=True)(x, p[3], p[2], sub[2], subm[2], m[3], m[2])
+        x = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3])
+        x = ResidualBlock(d * 16, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3])
+        feats_list.append(x)
+
+        return feats_list
+
+
+class VoteResult(NamedTuple):
+    shifted_points: jnp.ndarray   # (B, N4, 3) all shifted stage-4 nodes
+    nodes: jnp.ndarray            # (B, M_c, 3) NMS'd + neighbor-averaged centers
+    node_masks: jnp.ndarray       # (B, M_c)
+    node_feats: jnp.ndarray       # (B, M_c, C) stage-5 features
+
+
+class VoteEncoder(nn.Module):
+    """Vote -> NMS -> center averaging -> stage-5 convs
+    (reference `backbone4.py:92-220`)."""
+
+    init_dim: int
+    kernel_size: int
+    init_radius: float
+    init_sigma: float
+    group_norm: int
+    nms_radius: float
+    max_translate_range: float
+    input_feats_dim: int
+    max_nodes: int
+    vote_neighbor_limit: int
+    sub_neighbor_limit: int
+    self_neighbor_limit: int
+
+    @nn.compact
+    def __call__(self, feats_c, points_c, masks_c) -> VoteResult:
+        """feats_c (B, N4, 256) post-transformer; points_c (B, N4, 3)."""
+        shifted = VoteLayer(self.input_feats_dim, self.max_translate_range)(
+            points_c, feats_c
+        )
+        shifted = jnp.where(masks_c[..., None], shifted, 1.0e6)
+
+        # greedy NMS + compaction into the static node budget, per cloud
+        keep = jax.vmap(lambda p, m: greedy_radius_nms(p, m, self.nms_radius))(
+            shifted, masks_c
+        )
+        nodes, node_masks, _ = jax.vmap(
+            lambda v, k: compact_by_mask(v, k, self.max_nodes, pad_value=1.0e6)
+        )(shifted, keep)
+
+        # average shifted points within nms_radius of each kept node
+        # (reference `backbone4.py:149-178`, on-device instead of .cpu())
+        idx, val = jax.vmap(
+            lambda q, s, qm, sm: radius_search(
+                q, s, qm, sm, self.nms_radius, self.vote_neighbor_limit
+            )
+        )(nodes, shifted, node_masks, masks_c)
+        nb_pts = batched_gather(shifted, idx, val)
+        counts = jnp.maximum(jnp.sum(val.astype(jnp.float32), axis=-1), 1.0)
+        centers = jnp.sum(nb_pts, axis=-2) / counts[..., None]
+        centers = jnp.where(node_masks[..., None], centers, 1.0e6)
+
+        # stage-5 convolutions onto the voted centers
+        # (reference `backbone4.py:180-214`: radius*8 strided onto centers,
+        # then two self blocks at radius*16)
+        d, ks, gn = self.init_dim, self.kernel_size, self.group_norm
+        r, sg = self.init_radius, self.init_sigma
+        sub_idx, sub_val = jax.vmap(
+            lambda q, s, qm, sm: radius_search(q, s, qm, sm, r * 8, self.sub_neighbor_limit)
+        )(centers, points_c, node_masks, masks_c)
+        self_idx, self_val = jax.vmap(
+            lambda q, s, qm, sm: radius_search(q, s, qm, sm, r * 16, self.self_neighbor_limit)
+        )(centers, centers, node_masks, node_masks)
+
+        x = ResidualBlock(d * 4, d * 4, ks, r * 8, sg * 8, gn, strided=True)(
+            feats_c, centers, points_c, sub_idx, sub_val, node_masks, masks_c
+        )
+        x = ResidualBlock(d * 4, d * 8, ks, r * 16, sg * 16, gn)(
+            x, centers, centers, self_idx, self_val, node_masks, node_masks
+        )
+        x = ResidualBlock(d * 8, d * 8, ks, r * 16, sg * 16, gn)(
+            x, centers, centers, self_idx, self_val, node_masks, node_masks
+        )
+
+        return VoteResult(
+            shifted_points=shifted,
+            nodes=centers,
+            node_masks=node_masks,
+            node_feats=x,
+        )
+
+
+class KPDecoder(nn.Module):
+    """3-stage decoder with skip connections (reference `backbone4.py:333-373`).
+
+    Stage-4 features must be the (B, N4, 256) transformer-enhanced features —
+    the reference overwrites feats_list[-1] before decoding (`LCRNet.py:154`).
+    """
+
+    init_dim: int
+    group_norm: int
+
+    @nn.compact
+    def __call__(self, feats_list, pyramid: Pyramid):
+        d, gn = self.init_dim, self.group_norm
+        up, upm = pyramid.upsampling, pyramid.upsampling_masks
+        m = pyramid.masks
+
+        latent = nearest_upsample(feats_list[3], up[2], upm[2])
+        latent = jnp.concatenate([latent, feats_list[2]], axis=-1)
+        latent = UnaryBlock(d * 12, d * 8, gn)(latent, m[2])
+
+        latent = nearest_upsample(latent, up[1], upm[1])
+        latent = jnp.concatenate([latent, feats_list[1]], axis=-1)
+        latent = UnaryBlock(d * 12, d * 4, gn)(latent, m[1])
+
+        latent = nearest_upsample(latent, up[0], upm[0])
+        latent = jnp.concatenate([latent, feats_list[0]], axis=-1)
+        latent = LastUnaryBlock(d * 2)(latent)
+        return latent

@@ -1,0 +1,246 @@
+"""Coarse (node) matching and fine matching with local-to-global registration.
+
+Parity targets:
+  - `experiments/lcrnet/modules/geotransformer/superpoint_matching.py:91-186`
+    (SuperPointMatching_OT: dustbin mode = union of row/col argmax beating
+    the dustbin; fixed-count mode = threshold sweep)
+  - `modules/geotransformer/local_global_registration.py:11-246` (LGR:
+    top-k row/col selection vs dustbin, per-patch weighted Procrustes,
+    best-by-inlier-count, 5 refinement rounds)
+
+TPU design: every data-dependent set (nonzero(), chunks, threshold sweeps)
+becomes a fixed-capacity masked selection:
+  * node correspondences: scatter the argmax-beats-dustbin matrix, take the
+    top `capacity` scores (capacity >= M+N covers the worst case exactly);
+  * dense correspondences: each patch contributes at most 2K candidates
+    (K row-side + K col-side with duplicate suppression), the global
+    verification set is the top `corr_limit` by score;
+  * the per-patch transform fleet and inlier counts are one batched
+    Procrustes + one blocked residual pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from lcrnet_tpu.ops.masked import masked_top_k
+from lcrnet_tpu.ops.procrustes import weighted_procrustes
+from lcrnet_tpu.ops.transform import apply_transform
+
+
+class NodeCorrResult(NamedTuple):
+    ref_indices: jnp.ndarray  # (C,) int32
+    src_indices: jnp.ndarray  # (C,) int32
+    scores: jnp.ndarray       # (C,)
+    valid: jnp.ndarray        # (C,) bool
+
+
+def coarse_matching_ot(
+    matching_scores: jnp.ndarray,
+    ref_masks: jnp.ndarray,
+    src_masks: jnp.ndarray,
+    capacity: int,
+    num_correspondences: Optional[int] = None,
+    ref_node_scores: Optional[jnp.ndarray] = None,
+    src_node_scores: Optional[jnp.ndarray] = None,
+) -> NodeCorrResult:
+    """Extract node correspondences from an OT log-score matrix.
+
+    Args:
+      matching_scores: (M+1, N+1) log OT scores (dustbin at index -1).
+      ref_masks/src_masks: (M,)/(N,) node validity.
+      capacity: static output size (use >= M+N to cover dustbin mode exactly).
+      num_correspondences: None = dustbin mode; int = take the top-k scores
+        (the reference sweeps a threshold until >= k correspondences and
+        keeps all above it; top-k keeps exactly k — the accepted set is a
+        prefix of the reference's under the same ordering).
+      ref_node_scores/src_node_scores: optional per-node overlap scores that
+        multiply the matching scores in fixed-count mode
+        (`superpoint_matching.py:166-172`).
+    """
+    m = matching_scores.shape[0] - 1
+    n = matching_scores.shape[1] - 1
+    scores = jnp.exp(matching_scores)
+
+    valid_mat = jnp.logical_and(ref_masks[:, None], src_masks[None, :])
+
+    if num_correspondences is None:
+        inner = scores[:-1, :-1]
+        # column side: best row per column must beat the dustbin row
+        col_best = jnp.argmax(inner, axis=0)
+        col_val = jnp.max(inner, axis=0)
+        col_beats = col_val > scores[-1, :-1]
+        src_corr = jnp.zeros((m, n), jnp.bool_).at[col_best, jnp.arange(n)].set(col_beats)
+        # row side: best column per row must beat the dustbin column
+        row_best = jnp.argmax(inner, axis=1)
+        row_val = jnp.max(inner, axis=1)
+        row_beats = row_val > scores[:-1, -1]
+        ref_corr = jnp.zeros((m, n), jnp.bool_).at[jnp.arange(m), row_best].set(row_beats)
+        corr_mat = jnp.logical_or(ref_corr, src_corr)
+        corr_mat = jnp.logical_and(corr_mat, valid_mat)
+        sel_scores = jnp.where(corr_mat, inner, 0.0)
+    else:
+        inner = scores[:-1, :-1]
+        if ref_node_scores is not None and src_node_scores is not None:
+            inner = inner * ref_node_scores[:, None] * src_node_scores[None, :]
+        corr_mat = valid_mat
+        sel_scores = jnp.where(corr_mat, inner, 0.0)
+        capacity = num_correspondences
+
+    vals, flat_idx, valid = masked_top_k(sel_scores.reshape(-1), corr_mat.reshape(-1), capacity)
+    ref_idx = (flat_idx // n).astype(jnp.int32)
+    src_idx = (flat_idx % n).astype(jnp.int32)
+    valid = jnp.logical_and(valid, vals > 0.0)
+    return NodeCorrResult(ref_idx, src_idx, vals, valid)
+
+
+class FineMatchResult(NamedTuple):
+    ref_corr_points: jnp.ndarray  # (C_glob, 3)
+    src_corr_points: jnp.ndarray  # (C_glob, 3)
+    corr_scores: jnp.ndarray      # (C_glob,)
+    corr_valid: jnp.ndarray       # (C_glob,) bool
+    estimated_transform: jnp.ndarray  # (4, 4)
+
+
+def fine_matching_lgr(
+    ref_knn_points: jnp.ndarray,
+    src_knn_points: jnp.ndarray,
+    ref_knn_masks: jnp.ndarray,
+    src_knn_masks: jnp.ndarray,
+    matching_scores: jnp.ndarray,
+    patch_valid: jnp.ndarray,
+    acceptance_radius: float,
+    corr_limit: int,
+    mutual: bool = False,
+    use_dustbin: bool = True,
+    confidence_threshold: float = 0.0,
+    correspondence_threshold: int = 3,
+    num_refinement_steps: int = 5,
+    chunk: int = 64,
+) -> FineMatchResult:
+    """Local-to-global registration from per-patch OT scores.
+
+    Args:
+      ref_knn_points/src_knn_points: (P, K, 3) patch points per node corr.
+      ref_knn_masks/src_knn_masks: (P, K).
+      matching_scores: (P, K+1, K+1) log OT scores (if use_dustbin) else (P, K, K).
+      patch_valid: (P,) node-correspondence validity.
+      corr_limit: static global correspondence budget.
+    """
+    p, k = ref_knn_masks.shape
+    scores = jnp.exp(matching_scores)
+
+    if use_dustbin:
+        inner = scores[:, :-1, :-1]
+        row_dust = scores[:, :-1, -1]   # (P, K) dustbin col per row
+        col_dust = scores[:, -1, :-1]   # (P, K) dustbin row per col
+    else:
+        inner = scores
+        row_dust = jnp.full((p, k), confidence_threshold, scores.dtype)
+        col_dust = jnp.full((p, k), confidence_threshold, scores.dtype)
+
+    mask_mat = jnp.logical_and(ref_knn_masks[:, :, None], src_knn_masks[:, None, :])
+    inner_masked = jnp.where(mask_mat, inner, 0.0)
+
+    # row-side candidates: (p, i) -> best j   (k=1 in the shipped config)
+    row_best = jnp.argmax(inner_masked, axis=2)          # (P, K)
+    row_val = jnp.max(inner_masked, axis=2)
+    row_ok = row_val > row_dust
+    # col-side candidates: (p, j) -> best i
+    col_best = jnp.argmax(inner_masked, axis=1)          # (P, K)
+    col_val = jnp.max(inner_masked, axis=1)
+    col_ok = col_val > col_dust
+
+    if mutual:
+        # (i, best_j) kept iff also col-best of that j
+        j_of_i = row_best
+        mutual_row = jnp.take_along_axis(col_best, j_of_i, axis=1) == jnp.arange(k)[None, :]
+        row_ok = jnp.logical_and(row_ok, jnp.take_along_axis(col_ok, j_of_i, axis=1))
+        row_ok = jnp.logical_and(row_ok, mutual_row)
+        col_ok = jnp.zeros_like(col_ok)
+    else:
+        # duplicate suppression: col candidate (i*, j) already emitted by row
+        # side iff row i*'s argmax is j and that row candidate is kept
+        i_of_j = col_best
+        dup = jnp.take_along_axis(row_best, i_of_j, axis=1) == jnp.arange(k)[None, :]
+        dup = jnp.logical_and(dup, jnp.take_along_axis(row_ok, i_of_j, axis=1))
+        col_ok = jnp.logical_and(col_ok, jnp.logical_not(dup))
+
+    row_ok = jnp.logical_and(row_ok, patch_valid[:, None])
+    col_ok = jnp.logical_and(col_ok, patch_valid[:, None])
+    row_ok = jnp.logical_and(row_ok, ref_knn_masks)
+    col_ok = jnp.logical_and(col_ok, src_knn_masks)
+    row_ok = jnp.logical_and(row_ok, row_val > 0.0)
+    col_ok = jnp.logical_and(col_ok, col_val > 0.0)
+
+    # assemble (P, 2K) candidates
+    cand_ref_idx = jnp.concatenate([jnp.broadcast_to(jnp.arange(k)[None, :], (p, k)), col_best], axis=1)
+    cand_src_idx = jnp.concatenate([row_best, jnp.broadcast_to(jnp.arange(k)[None, :], (p, k))], axis=1)
+    cand_scores = jnp.concatenate([row_val, col_val], axis=1)
+    cand_valid = jnp.concatenate([row_ok, col_ok], axis=1)
+    cand_scores = jnp.where(cand_valid, cand_scores, 0.0)
+
+    cand_ref_pts = jnp.take_along_axis(ref_knn_points, cand_ref_idx[..., None], axis=1)
+    cand_src_pts = jnp.take_along_axis(src_knn_points, cand_src_idx[..., None], axis=1)
+
+    # per-patch local registration (reference `local_global_registration.py:174-186`)
+    patch_counts = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    patch_ok = jnp.logical_and(patch_valid, patch_counts >= correspondence_threshold)
+    patch_transforms = weighted_procrustes(cand_src_pts, cand_ref_pts, cand_scores)
+
+    # global verification set: top corr_limit candidates by score
+    g_vals, g_idx, g_valid = masked_top_k(
+        cand_scores.reshape(-1), cand_valid.reshape(-1), corr_limit
+    )
+    flat_ref = cand_ref_pts.reshape(-1, 3)
+    flat_src = cand_src_pts.reshape(-1, 3)
+    ref_corr = flat_ref[g_idx]
+    src_corr = flat_src[g_idx]
+    corr_scores = jnp.where(g_valid, g_vals, 0.0)
+
+    # inlier counting per patch transform, blocked over patches
+    pad = (-p) % chunk
+
+    def count_chunk(transforms):
+        aligned = apply_transform(src_corr[None, :, :], transforms)  # (chunk, C, 3)
+        res = jnp.linalg.norm(ref_corr[None, :, :] - aligned, axis=-1)
+        inl = jnp.logical_and(res < acceptance_radius, g_valid[None, :])
+        return jnp.sum(inl.astype(jnp.int32), axis=1)
+
+    pt_pad = jnp.concatenate(
+        [patch_transforms, jnp.broadcast_to(jnp.eye(4), (pad, 4, 4))], axis=0
+    ) if pad else patch_transforms
+    counts = lax.map(count_chunk, pt_pad.reshape(-1, chunk, 4, 4)).reshape(-1)[:p]
+    counts = jnp.where(patch_ok, counts, -1)
+
+    best = jnp.argmax(counts)
+    any_patch = jnp.any(patch_ok)
+
+    # degenerate branch: fit on all correspondences, then re-score
+    degen_transform = weighted_procrustes(src_corr, ref_corr, corr_scores)
+
+    def inliers_of(transform):
+        aligned = apply_transform(src_corr, transform)
+        res = jnp.linalg.norm(ref_corr - aligned, axis=-1)
+        return jnp.logical_and(res < acceptance_radius, g_valid).astype(corr_scores.dtype)
+
+    best_scores = corr_scores * inliers_of(patch_transforms[best])
+    degen_scores = corr_scores * inliers_of(degen_transform)
+    cur_scores = jnp.where(any_patch, best_scores, degen_scores)
+
+    # global refinement: num_refinement_steps Procrustes passes
+    estimated = weighted_procrustes(src_corr, ref_corr, cur_scores)
+    for _ in range(num_refinement_steps - 1):
+        cur_scores = corr_scores * inliers_of(estimated)
+        estimated = weighted_procrustes(src_corr, ref_corr, cur_scores)
+
+    return FineMatchResult(
+        ref_corr_points=ref_corr,
+        src_corr_points=src_corr,
+        corr_scores=corr_scores,
+        corr_valid=g_valid,
+        estimated_transform=estimated,
+    )

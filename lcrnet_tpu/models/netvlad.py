@@ -1,0 +1,83 @@
+"""NetVLAD global-descriptor head (LOUPE-style), masked and batched.
+
+Parity target: `experiments/lcrnet/modules/netvlad/NetVlad.py:12-201`
+(NetVLADLoupe / NetVLADLoupe2 with LayerNorm normalization, intra-norm over
+the cluster axis, flatten, 65536->256 projection, LayerNorm, sigmoid
+GatingContext).  The reference's batch=1 variant and the masked batched
+variant collapse into one masked implementation here — padded points get
+-inf soft-assign logits, which is exactly NetVLADLoupe2's mask path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+_NEG_INF = -1.0e12
+
+
+def _scaled_normal(scale_dim):
+    def init(key, shape, dtype=jnp.float32):
+        return nn.initializers.normal(1.0 / math.sqrt(scale_dim))(key, shape, dtype)
+    return init
+
+
+class GatingContext(nn.Module):
+    """Sigmoid context gating (reference `NetVlad.py:168-201`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("gating_weights", _scaled_normal(self.dim), (self.dim, self.dim))
+        gates = x @ w
+        gates = nn.LayerNorm()(gates)
+        return x * nn.sigmoid(gates)
+
+
+class NetVLAD(nn.Module):
+    """Masked NetVLAD: (B, N, C) features + (B, N) mask -> (B, output_dim)."""
+
+    feature_size: int = 1024
+    cluster_size: int = 64
+    output_dim: int = 256
+    gating: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask):
+        b, n, c = x.shape
+        cluster_w = self.param(
+            "cluster_weights", _scaled_normal(self.feature_size), (c, self.cluster_size)
+        )
+        cluster_w2 = self.param(
+            "cluster_weights2", _scaled_normal(self.feature_size), (1, c, self.cluster_size)
+        )
+        hidden_w = self.param(
+            "hidden1_weights",
+            _scaled_normal(self.feature_size),
+            (self.cluster_size * c, self.output_dim),
+        )
+
+        activation = x @ cluster_w  # (B, N, K)
+        activation = nn.LayerNorm()(activation)
+        activation = jnp.where(mask[..., None], activation, _NEG_INF)
+        activation = nn.softmax(activation, axis=-1)
+        activation = jnp.where(mask[..., None], activation, 0.0)
+
+        a_sum = jnp.sum(activation, axis=-2, keepdims=True)  # (B, 1, K)
+        a = a_sum * cluster_w2  # (B, C, K)
+
+        vlad = jnp.einsum("bnk,bnc->bck", activation, x)  # (B, C, K)
+        vlad = vlad - a
+        # intra-normalization over the feature axis (dim=1 in the reference)
+        vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6)
+        vlad = vlad.transpose(0, 2, 1).reshape(b, self.cluster_size * c)
+        vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6)
+
+        vlad = vlad @ hidden_w
+        vlad = nn.LayerNorm()(vlad)
+        if self.gating:
+            vlad = GatingContext(self.output_dim)(vlad)
+        return vlad

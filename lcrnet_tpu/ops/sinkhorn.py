@@ -54,8 +54,10 @@ def log_optimal_transport(
     invalid = jnp.logical_or(padded_row_invalid[:, :, None], padded_col_invalid[:, None, :])
     padded = jnp.where(invalid, -_INF, padded)
 
-    num_valid_row = jnp.sum(row_masks.astype(scores.dtype), axis=1)  # (B,)
-    num_valid_col = jnp.sum(col_masks.astype(scores.dtype), axis=1)
+    # clamp below at 1 so fully-invalid batches (empty capacity padding in the
+    # static layout) stay finite; their outputs are masked downstream
+    num_valid_row = jnp.maximum(jnp.sum(row_masks.astype(scores.dtype), axis=1), 1.0)
+    num_valid_col = jnp.maximum(jnp.sum(col_masks.astype(scores.dtype), axis=1), 1.0)
     norm = -jnp.log(num_valid_row + num_valid_col)  # (B,)
 
     log_mu = jnp.concatenate(

@@ -1,0 +1,150 @@
+"""End-to-end model family tests on tiny shapes (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lcrnet_tpu.config import make_test_cfg
+from lcrnet_tpu.models.lcrnet import LCRNet
+from lcrnet_tpu.models.losses import evaluate_pair, overall_loss, triplet_loss
+from lcrnet_tpu.ops.pyramid import build_pyramid
+
+from oracles import random_se3
+
+
+def make_pair(rng, n=400, cfg=None):
+    """Synthetic overlapping pair: a jittered grid patch and its rigid move."""
+    side = int(np.ceil(np.sqrt(n)))
+    xy = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1).reshape(-1, 2)[:n]
+    ref = np.zeros((n, 3), np.float32)
+    ref[:, :2] = xy * 0.4 + rng.uniform(-0.05, 0.05, (n, 2))
+    ref[:, 2] = np.sin(ref[:, 0] * 0.7) + rng.uniform(-0.02, 0.02, n)
+    t = random_se3(rng, max_angle=0.5, max_trans=1.0).astype(np.float32)
+    inv = np.linalg.inv(t)
+    src = (ref @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)  # ref = T @ src
+    return ref, src, t
+
+
+def build_pair_pyramid(cfg, ref, src):
+    caps = cfg.shapes.points
+    lims = cfg.shapes.neighbor_limits
+
+    def pad(pts):
+        out = np.full((caps[0], 3), 1.0e6, np.float32)
+        out[: len(pts)] = pts
+        m = np.zeros(caps[0], bool)
+        m[: len(pts)] = True
+        return jnp.asarray(out), jnp.asarray(m)
+
+    rp, rm = pad(ref)
+    sp, sm = pad(src)
+    return jax.vmap(
+        lambda p, m: build_pyramid(p, m, caps, lims, 0.3, 1.275)
+    )(jnp.stack([rp, sp]), jnp.stack([rm, sm]))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7351)
+    cfg = make_test_cfg()
+    ref, src, t = make_pair(rng, n=400)
+    pyramid = build_pair_pyramid(cfg, ref, src)
+    model = LCRNet(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        pyramid,
+        jnp.asarray(t),
+        training=True,
+        with_fine_matching=False,
+    )
+    return cfg, model, params, pyramid, jnp.asarray(t)
+
+
+def test_forward_eval_shapes(setup):
+    cfg, model, params, pyramid, t = setup
+    out = model.apply(params, pyramid, t, training=False)
+    assert out["ref_feature_global"].shape == (256,)
+    assert out["src_feature_global"].shape == (256,)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(out["ref_feature_global"])), 1.0, atol=1e-4
+    )
+    assert out["nodes"].shape == (2, cfg.shapes.max_nodes, 3)
+    assert out["estimated_transform"].shape == (4, 4)
+    assert np.isfinite(np.asarray(out["estimated_transform"])).all()
+    # some nodes and correspondences exist
+    assert int(np.asarray(out["node_masks"]).sum()) > 4
+    assert int(np.asarray(out["corr_valid"]).sum()) > 0
+
+
+def test_forward_train_losses_finite(setup):
+    cfg, model, params, pyramid, t = setup
+    out = model.apply(
+        params,
+        pyramid,
+        t,
+        training=True,
+        with_fine_matching=False,
+        rngs={"sampling": jax.random.PRNGKey(2)},
+    )
+    losses = overall_loss(out, t, cfg)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite: {v}"
+    assert float(losses["loss"]) > 0
+
+
+def test_gradients_flow(setup):
+    cfg, model, params, pyramid, t = setup
+
+    def loss_fn(p):
+        out = model.apply(
+            p, pyramid, t, training=True, with_fine_matching=False,
+            rngs={"sampling": jax.random.PRNGKey(3)},
+        )
+        return overall_loss(out, t, cfg)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    norms = [float(jnp.linalg.norm(g)) for g in flat]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.5  # most params get grads
+
+
+def test_describe_path(setup):
+    cfg, model, params, pyramid, t = setup
+    desc = model.apply(params, pyramid, method=LCRNet.describe)
+    assert desc.shape == (2, 256)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(desc), axis=1), 1.0, atol=1e-4)
+
+
+def test_identity_pair_descriptor_match(setup):
+    """Same cloud twice -> identical descriptors."""
+    cfg, model, params, _, _ = setup
+    rng = np.random.default_rng(3)
+    ref, _, _ = make_pair(rng, n=300)
+    pyr = build_pair_pyramid(cfg, ref, ref.copy())
+    desc = model.apply(params, pyr, method=LCRNet.describe)
+    d = np.linalg.norm(np.asarray(desc[0]) - np.asarray(desc[1]))
+    assert d < 1e-4
+
+
+def test_triplet_loss_values():
+    anc = jnp.zeros((2, 1, 4))
+    pos = jnp.zeros((2, 2, 4))
+    neg = jnp.ones((2, 3, 4))  # dist^2 = 4 > margin
+    loss = triplet_loss(anc, pos, neg, margin=0.5)
+    assert float(loss) == 0.0
+    neg2 = jnp.zeros((2, 3, 4))  # dist 0 -> each contributes margin
+    loss2 = triplet_loss(anc, pos, neg2, margin=0.5)
+    np.testing.assert_allclose(float(loss2), 1.5, atol=1e-6)
+
+
+def test_evaluator_perfect_estimate(setup):
+    cfg, model, params, pyramid, t = setup
+    out = model.apply(params, pyramid, t, training=False)
+    out = dict(out)
+    out["estimated_transform"] = t  # pretend perfect
+    res = evaluate_pair(out, t, cfg)
+    assert float(res["RRE"]) < 1e-3
+    assert float(res["RTE"]) < 1e-3
+    assert float(res["RR"]) == 1.0
