@@ -1,0 +1,166 @@
+"""SPMD training step and optimization setup.
+
+Replaces the reference engine's trainer internals
+(`utils/engine/base_trainer.py:179-239`, `epoch_based_trainer.py:87-233`):
+DDP wrap + NCCL allreduce become sharding annotations on a jitted step (XLA
+inserts the gradient psum over the dp mesh axis); the NaN/Inf gradient guard
+(`base_trainer.py:224-232`) becomes optax.apply_if_finite; gradient
+accumulation (`base_trainer.py:213-216`) becomes optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lcrnet_tpu.config import LCRNetConfig
+from lcrnet_tpu.engine.adan import adan
+from lcrnet_tpu.models.lcrnet import LCRNet
+from lcrnet_tpu.models.losses import overall_loss
+from lcrnet_tpu.pipeline import build_batch_pyramid
+
+
+class PairBatch(NamedTuple):
+    """A dp-shardable batch of registration pairs.
+
+    points: (P, 2, N0, 3); masks: (P, 2, N0); transform: (P, 4, 4).
+    """
+
+    points: jnp.ndarray
+    masks: jnp.ndarray
+    transform: jnp.ndarray
+
+
+def make_optimizer(cfg: LCRNetConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam + StepLR(decay_steps epochs, x lr_decay) for registration,
+    Adan for loop detection (reference `trainval_mixed.py:34-37`,
+    `trainval_loop_detection.py:37`)."""
+    schedule = optax.exponential_decay(
+        init_value=cfg.optim.lr,
+        transition_steps=cfg.optim.lr_decay_steps * max(steps_per_epoch, 1),
+        decay_rate=cfg.optim.lr_decay,
+        staircase=True,
+    )
+    if cfg.optim.optimizer == "adan":
+        tx = adan(schedule, weight_decay=cfg.optim.weight_decay)
+    else:
+        tx = optax.adamw(schedule, weight_decay=cfg.optim.weight_decay)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    if cfg.optim.grad_acc_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.optim.grad_acc_steps)
+    return tx
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(cfg: LCRNetConfig, params, steps_per_epoch: int = 1) -> TrainState:
+    model = LCRNet(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):
+    """Build the jitted dp-sharded registration train step.
+
+    Returns step(state, batch: PairBatch, rng) -> (state, metrics).  The pair
+    axis of the batch is sharded over the mesh 'dp' axis; parameters are
+    replicated; the gradient mean induces the cross-device psum.
+    """
+    model = LCRNet(cfg)
+
+    def pair_loss(params, points, masks, transform, key):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        out = model.apply(
+            params,
+            pyramid,
+            transform,
+            training=True,
+            with_fine_matching=False,
+            rngs={"sampling": key},
+        )
+        losses = overall_loss(out, transform, cfg)
+        return losses["loss"], losses
+
+    def loss_fn(params, batch: PairBatch, rng):
+        keys = jax.random.split(rng, batch.points.shape[0])
+        losses, aux = jax.vmap(pair_loss, in_axes=(None, 0, 0, 0, 0))(
+            params, batch.points, batch.masks, batch.transform, keys
+        )
+        return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+    def step(state: TrainState, batch: PairBatch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        state = state.apply_gradients(grads=grads)
+        aux = dict(aux)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return state, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    # dp shards pairs; mp (if >1) shards the point axis within each cloud —
+    # the sequence-parallel analogue for point clouds (SURVEY.md §2.8)
+    batch_sharding = PairBatch(
+        points=NamedSharding(mesh, P("dp", None, "mp")),
+        masks=NamedSharding(mesh, P("dp", None, "mp")),
+        transform=NamedSharding(mesh, P("dp")),
+    )
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_sharding, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
+                               mesh: Optional[Mesh] = None):
+    """Loop-detection (retrieval) train step: anchor/positive/negative tuples
+    through the descriptor path + lazy triplet loss (reference
+    `LCRNet_GlobalDescrition.py:25-110` online mode + `loss_ld.py:29-58`).
+
+    Batch layout: points (B, 1+num_pos+num_neg, N0, 3), masks likewise.
+    """
+    from lcrnet_tpu.models.losses import triplet_loss
+
+    model = LCRNet(cfg)
+    group = 1 + num_pos + num_neg
+
+    def tuple_loss(params, points, masks):
+        flat_p = points.reshape((-1,) + points.shape[2:])
+        flat_m = masks.reshape((-1,) + masks.shape[2:])
+        pyramid = build_batch_pyramid(flat_p, flat_m, cfg)
+        desc = model.apply(params, pyramid, method=LCRNet.describe)
+        desc = desc.reshape(points.shape[0], group, -1)
+        anc = desc[:, :1]
+        pos = desc[:, 1 : 1 + num_pos]
+        neg = desc[:, 1 + num_pos :]
+        return triplet_loss(anc, pos, neg, cfg.loss.triplet_margin)
+
+    def step(state: TrainState, points, masks):
+        loss, grads = jax.value_and_grad(tuple_loss)(state.params, points, masks)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(
+        step,
+        in_shardings=(
+            None,
+            NamedSharding(mesh, P("dp")),
+            NamedSharding(mesh, P("dp")),
+        ),
+        donate_argnums=(0,),
+    )

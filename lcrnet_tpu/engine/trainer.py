@@ -1,0 +1,124 @@
+"""Epoch-based trainer (host loop).
+
+Parity target: `utils/engine/base_trainer.py:33-258` +
+`epoch_based_trainer.py:87-233`: epoch loop, per-iteration step, periodic
+logging, per-epoch snapshots, validation every `val_every` epochs after
+`val_after`.  DDP/NCCL init disappears — the mesh-sharded jitted step is the
+distribution layer; multi-host launch is `jax.distributed.initialize()`
+before trainer construction.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from lcrnet_tpu.config import LCRNetConfig
+from lcrnet_tpu.engine.checkpoint import latest_step, load_snapshot, save_snapshot
+from lcrnet_tpu.engine.logger import make_logger
+from lcrnet_tpu.engine.meters import SummaryBoard, Timer
+from lcrnet_tpu.engine.train import PairBatch, TrainState, create_train_state, make_train_step
+from lcrnet_tpu.pipeline import init_params
+
+
+class EpochTrainer:
+    def __init__(
+        self,
+        cfg: LCRNetConfig,
+        train_loader: Callable[[], Iterable[PairBatch]],
+        val_loader: Optional[Callable[[], Iterable[PairBatch]]] = None,
+        output_dir: str = "output",
+        steps_per_epoch: int = 1000,
+        log_steps: int = 10,
+        val_after: int = 30,
+        val_every: int = 5,
+        mesh=None,
+        eval_step=None,
+    ):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.output_dir = output_dir
+        self.snapshot_dir = osp.join(output_dir, "snapshots")
+        self.log_steps = log_steps
+        self.val_after = val_after
+        self.val_every = val_every
+        self.logger = make_logger(osp.join(output_dir, "logs", "train.log"))
+        self.step_fn = make_train_step(cfg, mesh=mesh)
+        self.eval_step = eval_step
+        params = init_params(cfg, seed=cfg.seed)
+        self.state = create_train_state(cfg, params, steps_per_epoch)
+        self.epoch = 0
+        self.iteration = 0
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    def resume(self):
+        step = latest_step(self.snapshot_dir)
+        if step is None:
+            self.logger.info("no snapshot to resume from")
+            return
+        payload = load_snapshot(
+            self.snapshot_dir,
+            step,
+            template={"params": self.state.params, "opt_state": self.state.opt_state},
+        )
+        self.state = self.state.replace(
+            params=payload["params"], opt_state=payload["opt_state"], step=step
+        )
+        self.epoch = step
+        self.logger.info(f"resumed from epoch {step}")
+
+    def train_epoch(self):
+        board = SummaryBoard(window=self.log_steps * 5)
+        timer = Timer()
+        timer.tic()
+        for i, batch in enumerate(self.train_loader()):
+            timer.toc_prepare()
+            self.rng, key = jax.random.split(self.rng)
+            self.state, metrics = self.step_fn(self.state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+            timer.toc_process()
+            self.iteration += 1
+            board.update_from_dict(metrics)
+            if (i + 1) % self.log_steps == 0:
+                self.logger.info(
+                    f"epoch {self.epoch} it {i + 1}: {board.format()} "
+                    f"(prep {timer.mean_prepare * 1e3:.1f} ms, step {timer.mean_process * 1e3:.1f} ms)"
+                )
+            timer.tic()
+        return board.summary()
+
+    def validate(self):
+        if self.val_loader is None or self.eval_step is None:
+            return {}
+        board = SummaryBoard()
+        for batch in self.val_loader():
+            metrics = self.eval_step(self.state.params, batch)
+            board.update_from_dict(jax.tree.map(np.asarray, metrics))
+        summary = board.summary()
+        self.logger.info(f"val epoch {self.epoch}: {board.format()}")
+        return summary
+
+    def run(self, max_epoch: Optional[int] = None):
+        max_epoch = max_epoch or self.cfg.optim.max_epoch
+        while self.epoch < max_epoch:
+            t0 = time.time()
+            summary = self.train_epoch()
+            self.epoch += 1
+            self.logger.info(
+                f"epoch {self.epoch}/{max_epoch} done in {time.time() - t0:.1f}s: "
+                + ", ".join(f"{k}={v:.4f}" for k, v in summary.items())
+            )
+            save_snapshot(
+                self.snapshot_dir,
+                self.epoch,
+                self.state.params,
+                self.state.opt_state,
+            )
+            if self.epoch > self.val_after and self.epoch % self.val_every == 0:
+                self.validate()
+        return self.state

@@ -78,9 +78,11 @@ def grid_subsample(
         jnp.where(sorted_valid[:, None], sorted_points, 0.0),
         seg,
         num_segments=out_capacity,
+        indices_are_sorted=True,
     )
     counts = jax.ops.segment_sum(
-        sorted_valid.astype(jnp.float32), seg, num_segments=out_capacity
+        sorted_valid.astype(jnp.float32), seg, num_segments=out_capacity,
+        indices_are_sorted=True,
     )
     out_mask = jnp.arange(out_capacity) < jnp.minimum(num_voxels, out_capacity)
     out_points = sums / jnp.maximum(counts, 1.0)[:, None]

@@ -39,7 +39,7 @@ def radius_search(
     s_mask: jnp.ndarray,
     radius: float,
     limit: int,
-    block_size: int = 512,
+    block_size: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fixed-width radius neighbors of q_points among s_points.
 
@@ -83,7 +83,7 @@ def knn_search(
     q_mask: jnp.ndarray,
     s_mask: jnp.ndarray,
     k: int,
-    block_size: int = 512,
+    block_size: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k nearest supports per query (no radius cut). Returns (d2, idx, valid)."""
     q = q_points.shape[0]

@@ -1,0 +1,111 @@
+"""High-level jitted pipelines: pair inference and descriptor extraction.
+
+The whole reference call stack (`demo/demo.py` → collate workers → forward
+with CPU hops → CPU SVD) collapses into single jitted device functions here:
+raw padded clouds in, descriptors + 6-DoF pose out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lcrnet_tpu.config import LCRNetConfig
+from lcrnet_tpu.models.lcrnet import LCRNet
+from lcrnet_tpu.ops.pyramid import Pyramid, build_pyramid
+
+
+def build_batch_pyramid(points: jnp.ndarray, masks: jnp.ndarray, cfg: LCRNetConfig) -> Pyramid:
+    """(B, N0, 3) + (B, N0) -> batched Pyramid."""
+    return jax.vmap(
+        lambda p, m: build_pyramid(
+            p,
+            m,
+            cfg.shapes.points,
+            cfg.shapes.neighbor_limits,
+            cfg.backbone.init_voxel_size,
+            cfg.backbone.init_radius,
+        )
+    )(points, masks)
+
+
+def make_pair_forward(cfg: LCRNetConfig, with_global_head: bool = True):
+    """Jittable eval forward: (params, ref_points, ref_mask, src_points,
+    src_mask) -> output dict (descriptors, nodes, correspondences, pose)."""
+    model = LCRNet(cfg)
+
+    def forward(params, ref_points, ref_mask, src_points, src_mask):
+        points = jnp.stack([ref_points, src_points])
+        masks = jnp.stack([ref_mask, src_mask])
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        return model.apply(
+            params,
+            pyramid,
+            None,
+            training=False,
+            with_global_head=with_global_head,
+            with_fine_matching=True,
+        )
+
+    return forward
+
+
+def make_describe(cfg: LCRNetConfig):
+    """Jittable descriptor extraction: (params, points (B,N,3), masks) -> (B, 256)."""
+    model = LCRNet(cfg)
+
+    def describe(params, points, masks):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        return model.apply(params, pyramid, method=LCRNet.describe)
+
+    return describe
+
+
+def init_params(cfg: LCRNetConfig, seed: int = 0):
+    """Initialize the full parameter tree.
+
+    Parameter shapes depend only on channel widths, not point budgets, so the
+    init runs jitted on tiny shapes (fast even when the compile target is a
+    remote TPU)."""
+    import dataclasses
+
+    from lcrnet_tpu.config import make_test_cfg
+
+    small = make_test_cfg()
+    small = dataclasses.replace(
+        small,
+        backbone=cfg.backbone,
+        transformer=cfg.transformer,
+        vote=cfg.vote,
+        coarse_matching=dataclasses.replace(cfg.coarse_matching, num_targets=8),
+    )
+    model = LCRNet(small)
+    n0 = small.shapes.points[0]
+    import numpy as np
+
+    rng = np.random.default_rng(cfg.seed)
+    pts = np.full((2, n0, 3), 1.0e6, np.float32)
+    msk = np.zeros((2, n0), bool)
+    n_valid = min(384, n0)
+    for b in range(2):
+        side = int(np.ceil(np.sqrt(n_valid)))
+        xy = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1).reshape(-1, 2)[:n_valid]
+        pts[b, :n_valid, :2] = xy * 0.4 + rng.uniform(-0.05, 0.05, (n_valid, 2))
+        pts[b, :n_valid, 2] = rng.uniform(-0.1, 0.1, n_valid)
+        msk[b, :n_valid] = True
+    pyramid = build_batch_pyramid(jnp.asarray(pts), jnp.asarray(msk), small)
+
+    @jax.jit
+    def _init(pyr):
+        return model.init(
+            {"params": jax.random.PRNGKey(seed), "sampling": jax.random.PRNGKey(seed + 1)},
+            pyr,
+            jnp.eye(4),
+            training=True,
+            with_fine_matching=False,
+        )
+
+    return _init(pyramid)

@@ -1,0 +1,147 @@
+"""Loop-closure retrieval: descriptor database scan + PR metrics.
+
+Parity target: `experiments/loop_detection/eval_loop_detection_overlap_dataset.py:14-261`.
+The reference rebuilds a faiss IVFFlat index *per query frame* (`:183-215` —
+flagged as a hot loop in SURVEY.md §3.3); here the whole sequence-level
+retrieval is one jitted masked distance matrix + top-k:
+
+  - database: (N, 256) L2-normalized descriptors
+  - causal mask: query i may only match frames j <= i - exclusion (100)
+  - top-k by L2 distance = top-k by inner product (normalized vectors)
+
+Metrics mirror the reference eval: P/R curve from a threshold sweep on the
+top-1 distance vs the overlap ground truth, F1max, AUC (trapezoidal over the
+PR curve, as sklearn's average-precision-style integration), Recall@1 and
+Recall@1%.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1.0e12
+
+
+def causal_topk_search(
+    descriptors: jnp.ndarray,
+    k: int,
+    exclusion: int = 100,
+    start: int = 0,
+    block: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each frame i, the top-k nearest database frames j <= i - exclusion.
+
+    Returns (distances (N, k) squared-L2, indices (N, k)); rows with no
+    eligible candidates get distance _BIG.
+    """
+    n, d = descriptors.shape
+    pad = (-n) % block
+    q = jnp.pad(descriptors, ((0, pad), (0, 0)))
+    row_ids = jnp.pad(jnp.arange(n), (0, pad), constant_values=-1)
+
+    def one_block(args):
+        qb, rb = args
+        sims = qb @ descriptors.T  # (block, N)
+        d2 = jnp.maximum(2.0 - 2.0 * sims, 0.0)
+        eligible = jnp.arange(n)[None, :] <= rb[:, None] - exclusion
+        d2 = jnp.where(eligible, d2, _BIG)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return -neg, idx
+
+    dists, idx = jax.lax.map(
+        one_block, (q.reshape(-1, block, d), row_ids.reshape(-1, block))
+    )
+    return dists.reshape(-1, k)[:n], idx.reshape(-1, k)[:n]
+
+
+def evaluate_loop_detection(
+    descriptors: np.ndarray,
+    gt_positives: list,
+    exclusion: int = 100,
+    start_frame: int = 150,
+    topk: int = 50,
+    recall_pct_k: int = 45,
+) -> Dict[str, float]:
+    """Full retrieval eval over a sequence.
+
+    Args:
+      descriptors: (N, 256) normalized.
+      gt_positives: per-frame list/array of ground-truth loop frame indices
+        (frames with overlap > 0.3 in the reference GT files).
+      start_frame: first query frame (reference `:183` starts at 150 or once
+        the database holds >= exclusion frames).
+      recall_pct_k: the `1%` candidate count (45 for KITTI-00, 38 for Ford).
+
+    Returns dict with F1max, AUC, Recall@1, Recall@1pct, plus the raw
+    top-1 distances for downstream dumps.
+    """
+    n = len(descriptors)
+    dists, idx = causal_topk_search(jnp.asarray(descriptors), k=topk, exclusion=exclusion)
+    dists = np.asarray(dists)
+    idx = np.asarray(idx)
+
+    has_gt = np.array([len(gt_positives[i]) > 0 for i in range(n)])
+    queries = [i for i in range(start_frame, n) if dists[i, 0] < _BIG / 2]
+
+    # threshold sweep on top-1 distance (reference `compute_PR_overlap`:66-121)
+    precisions, recalls = [], []
+    top1_dist = dists[:, 0]
+    top1_idx = idx[:, 0]
+    top1_correct = np.array(
+        [top1_idx[i] in set(gt_positives[i]) for i in range(n)]
+    )
+    for thr in np.arange(0.0, 1.01, 0.01):
+        tp = fp = fn_ = 0
+        for i in queries:
+            pred_pos = top1_dist[i] < thr
+            if pred_pos:
+                if top1_correct[i]:
+                    tp += 1
+                else:
+                    fp += 1
+            elif has_gt[i]:
+                fn_ += 1
+        if tp + fp > 0 and tp + fn_ > 0:
+            precisions.append(tp / (tp + fp))
+            recalls.append(tp / (tp + fn_))
+    precisions = np.array(precisions)
+    recalls = np.array(recalls)
+
+    if len(precisions) == 0:
+        return {"F1max": 0.0, "AUC": 0.0, "Recall@1": 0.0, "Recall@1pct": 0.0}
+
+    f1 = 2 * precisions * recalls / np.maximum(precisions + recalls, 1e-12)
+    order = np.argsort(recalls)
+    r_sorted = recalls[order]
+    p_sorted = precisions[order]
+    # anchor the curve at recall 0 so a degenerate perfect sweep (single
+    # recall level) still integrates correctly
+    r_sorted = np.concatenate([[0.0], r_sorted])
+    p_sorted = np.concatenate([[p_sorted[0]], p_sorted])
+    auc = float(np.trapezoid(p_sorted, r_sorted))
+
+    # Recall@1 / Recall@1% over queries that have GT loops
+    gt_queries = [i for i in queries if has_gt[i]]
+    r1 = float(np.mean([top1_correct[i] for i in gt_queries])) if gt_queries else 0.0
+    rpct = (
+        float(
+            np.mean(
+                [
+                    len(set(idx[i, :recall_pct_k]) & set(gt_positives[i])) > 0
+                    for i in gt_queries
+                ]
+            )
+        )
+        if gt_queries
+        else 0.0
+    )
+    return {
+        "F1max": float(f1.max()),
+        "AUC": auc,
+        "Recall@1": r1,
+        "Recall@1pct": rpct,
+    }

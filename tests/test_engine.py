@@ -1,0 +1,95 @@
+"""Tests for the training engine: optimizer, train step, dp/mp sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from lcrnet_tpu.config import make_test_cfg
+from lcrnet_tpu.engine.adan import adan
+from lcrnet_tpu.engine.train import (
+    PairBatch,
+    create_train_state,
+    make_descriptor_train_step,
+    make_train_step,
+)
+from lcrnet_tpu.parallel.mesh import make_mesh
+from lcrnet_tpu.pipeline import init_params
+
+from test_model import make_pair
+
+
+def _batch(cfg, n_pairs, rng):
+    n0 = cfg.shapes.points[0]
+    pts = np.full((n_pairs, 2, n0, 3), 1.0e6, np.float32)
+    msks = np.zeros((n_pairs, 2, n0), bool)
+    ts = np.zeros((n_pairs, 4, 4), np.float32)
+    for i in range(n_pairs):
+        ref, src, t = make_pair(rng, n=400)
+        pts[i, 0, :400], pts[i, 1, :400] = ref, src
+        msks[i, 0, :400] = msks[i, 1, :400] = True
+        ts[i] = t
+    return PairBatch(jnp.asarray(pts), jnp.asarray(msks), jnp.asarray(ts))
+
+
+def test_adan_minimizes_quadratic():
+    x = jnp.array([2.0, -3.0])
+    schedule = optax.exponential_decay(1e-1, 50, 0.5)
+    tx = adan(schedule)
+    state = tx.init(x)
+    for _ in range(400):
+        g = 2 * x
+        updates, state = tx.update(g, state, x)
+        x = optax.apply_updates(x, updates)
+    assert float(jnp.abs(x).max()) < 5e-2
+
+
+def test_train_step_reduces_loss(rng):
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    state = create_train_state(cfg, params, steps_per_epoch=10)
+    step = make_train_step(cfg)
+    batch = _batch(cfg, 1, rng)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    # overfitting a single batch must reduce the loss
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_step_sharded_matches_unsharded(rng):
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    mesh = make_mesh(dp=4, mp=2)
+    state_a = create_train_state(cfg, params, 10)
+    state_b = create_train_state(cfg, params, 10)
+    step_plain = make_train_step(cfg)
+    step_shard = make_train_step(cfg, mesh=mesh)
+    batch = _batch(cfg, 4, rng)
+    key = jax.random.PRNGKey(1)
+    _, m_a = step_plain(state_a, batch, key)
+    _, m_b = step_shard(state_b, batch, key)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-3)
+
+
+def test_descriptor_train_step_runs(rng):
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    state = create_train_state(cfg, params, 10)
+    step = make_descriptor_train_step(cfg, num_pos=1, num_neg=2)
+    n0 = cfg.shapes.points[0]
+    group = 4  # anc + 1 pos + 2 neg
+    pts = np.full((2, group, n0, 3), 1.0e6, np.float32)
+    msks = np.zeros((2, group, n0), bool)
+    for b in range(2):
+        for g in range(group):
+            ref, _, _ = make_pair(rng, n=300)
+            pts[b, g, :300] = ref
+            msks[b, g, :300] = True
+    state, metrics = step(state, jnp.asarray(pts), jnp.asarray(msks))
+    assert np.isfinite(float(metrics["loss"]))
