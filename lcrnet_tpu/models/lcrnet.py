@@ -193,6 +193,7 @@ class LCRNet(nn.Module):
             node_occupied[0][None],
             node_occupied[1][None],
             c.model.num_sinkhorn_iterations,
+            fused=not training,  # VMEM-fused kernel on the inference path
         )[0]
         out["node_matching_scores"] = node_matching_scores
         out["node_occupied"] = node_occupied
@@ -258,6 +259,7 @@ class LCRNet(nn.Module):
             ref_knn_m,
             src_knn_m,
             c.model.num_sinkhorn_iterations,
+            fused=not training,
         )
         out["matching_scores"] = matching_scores
 

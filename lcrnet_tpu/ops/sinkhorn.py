@@ -5,39 +5,23 @@ Parity target: `experiments/lcrnet/modules/sinkhorn/learnable_sinkhorn.py:5-70`
 mask invalid rows/cols at -inf, run ``num_iterations`` of alternating
 row/col log-normalization against log_mu/log_nu derived from valid counts).
 
-TPU design: the iteration is a `lax.scan` with static trip count (the
-reference already uses a fixed 100 iterations) over fixed-shape (B, M+1, N+1)
-tensors — M and N are static node/patch budgets, so the whole OT runs as one
-fused XLA loop with MXU-free logsumexp reductions on the VPU.
+Two backends over identical numerics:
+  * `lax.scan` (differentiable — used on the training path and on CPU)
+  * fused Pallas kernel (`sinkhorn_pallas.py`) keeping the score block in
+    VMEM for all iterations — used on the TPU inference path.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 _INF = 1.0e12
 
 
-def log_optimal_transport(
-    scores: jnp.ndarray,
-    alpha: jnp.ndarray,
-    row_masks: jnp.ndarray,
-    col_masks: jnp.ndarray,
-    num_iterations: int,
-) -> jnp.ndarray:
-    """Masked Sinkhorn in log space.
-
-    Args:
-      scores: (B, M, N) similarity logits.
-      alpha: scalar learnable dustbin score.
-      row_masks: (B, M) bool; col_masks: (B, N) bool.
-      num_iterations: static iteration count.
-
-    Returns:
-      (B, M+1, N+1) log assignment scores (un-normalized by `norm`, matching
-      the reference's output convention).
-    """
+def _build_padded(scores, alpha, row_masks, col_masks):
+    """Dustbin-extended, masked score tensor + log marginals."""
     b, m, n = scores.shape
     alpha = alpha.astype(scores.dtype)
 
@@ -70,6 +54,40 @@ def log_optimal_transport(
         axis=1,
     )
     log_nu = jnp.where(padded_col_invalid, -_INF, log_nu)
+    return padded, log_mu, log_nu, norm
+
+
+def log_optimal_transport(
+    scores: jnp.ndarray,
+    alpha: jnp.ndarray,
+    row_masks: jnp.ndarray,
+    col_masks: jnp.ndarray,
+    num_iterations: int,
+    fused: bool = False,
+) -> jnp.ndarray:
+    """Masked Sinkhorn in log space.
+
+    Args:
+      scores: (B, M, N) similarity logits.
+      alpha: scalar learnable dustbin score.
+      row_masks: (B, M) bool; col_masks: (B, N) bool.
+      num_iterations: static iteration count.
+      fused: use the VMEM-resident Pallas kernel (inference-only: the fused
+        path is not differentiable; the scan path is).
+
+    Returns:
+      (B, M+1, N+1) log assignment scores.
+    """
+    padded, log_mu, log_nu, norm = _build_padded(scores, alpha, row_masks, col_masks)
+
+    if fused:
+        backend = jax.default_backend()
+        from lcrnet_tpu.ops.sinkhorn_pallas import sinkhorn_padded_pallas
+
+        out = sinkhorn_padded_pallas(
+            padded, log_mu, log_nu, num_iterations, interpret=(backend != "tpu")
+        )
+        return out - norm[:, None, None]
 
     def step(carry, _):
         u, v = carry
