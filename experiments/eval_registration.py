@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Offline registration evaluation from npz dumps.
+
+Parity target: `experiments/registration/eval.py:25-314`: coarse PIR, fine
+IR/FMR, pose errors (RRE/RTE + per-axis RPY), RR = (RRE < 5 deg, RTE < 2 m).
+Pose methods: `lgr` (stored estimate) or `svd` (weighted Procrustes refit on
+the dumped correspondences).  RANSAC (open3d) is not bundled in this
+environment; `svd` covers the estimator-swap use case.
+"""
+
+import argparse
+import glob
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--feature_dir", required=True)
+    ap.add_argument("--method", choices=["lgr", "svd"], default="lgr")
+    ap.add_argument("--ir_radius", type=float, default=0.6)
+    ap.add_argument("--ir_threshold", type=float, default=0.05)
+    args = ap.parse_args()
+
+    from lcrnet_tpu.engine.meters import SummaryBoard
+    from lcrnet_tpu.utils.metrics import (
+        compute_inlier_ratio,
+        compute_registration_error,
+        registration_recall,
+    )
+
+    files = sorted(glob.glob(osp.join(args.feature_dir, "*.npz")))
+    if not files:
+        raise SystemExit(f"no npz dumps in {args.feature_dir}")
+
+    board = SummaryBoard()
+    pose_results = []
+    fail_cases = []
+    for f in files:
+        d = np.load(f)
+        gt = d["transform"]
+        corr_valid = d["corr_valid"].astype(bool)
+        ref_corr = d["ref_corr_points"][corr_valid]
+        src_corr = d["src_corr_points"][corr_valid]
+
+        # coarse PIR from the dumped GT node correspondence list
+        gt_valid = d["gt_node_corr_valid"].astype(bool)
+        gt_set = set(
+            zip(d["gt_node_corr_ref"][gt_valid].tolist(), d["gt_node_corr_src"][gt_valid].tolist())
+        )
+        nv = d["node_corr_valid"].astype(bool)
+        pred = list(zip(d["ref_node_corr_indices"][nv].tolist(), d["src_node_corr_indices"][nv].tolist()))
+        pir = float(np.mean([p in gt_set for p in pred])) if pred else 0.0
+
+        ir = compute_inlier_ratio(ref_corr, src_corr, gt, radius=args.ir_radius)
+
+        if args.method == "lgr":
+            est = d["estimated_transform"]
+        else:
+            import jax.numpy as jnp
+
+            from lcrnet_tpu.ops.procrustes import weighted_procrustes
+
+            est = np.asarray(
+                weighted_procrustes(
+                    jnp.asarray(src_corr), jnp.asarray(ref_corr), jnp.asarray(d["corr_scores"][corr_valid])
+                )
+            )
+
+        err = compute_registration_error(gt, est)
+        pose_results.append(err)
+        board.update("PIR", pir)
+        board.update("IR", ir)
+        board.update("FMR", float(ir > args.ir_threshold))
+        if not (err["RRE"] < 5.0 and err["RTE"] < 2.0):
+            fail_cases.append(osp.basename(f))
+
+    agg = registration_recall(pose_results)
+    print(f"pairs: {len(files)}  method: {args.method}")
+    print(f"PIR: {board.meters['PIR'].mean():.4f}")
+    print(f"IR: {board.meters['IR'].mean():.4f}  FMR: {board.meters['FMR'].mean():.4f}")
+    print(
+        f"RR: {agg['RR']:.2f}  RRE: {agg['RRE']:.3f} deg  RTE: {agg['RTE'] * 100:.1f} cm  "
+        f"RYE: {agg['RYE']:.3f} deg"
+    )
+    if fail_cases:
+        print(f"failed pairs ({len(fail_cases)}): {fail_cases[:20]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Loop detection testing: extract per-scan descriptors, run retrieval eval.
+
+Parity target: `experiments/loop_detection/test_loop_detection.py:17-92`
+(dump per-scan 256-d descriptors) +
+`eval_loop_detection_overlap_dataset.py:148-261` (incremental retrieval,
+P/R sweep, F1max, AUC, Recall@1, Recall@1%).  The per-frame faiss index
+rebuild becomes one causal masked top-k scan on device.
+"""
+
+import argparse
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def load_overlap_gt(path: str, n: int):
+    """Per-anchor positive lists from the reference-format overlap npz
+    (fields of anchor idx -> positive idx arrays) or a simple 2-column pair
+    file; returns list of lists."""
+    gt = [[] for _ in range(n)]
+    if path.endswith(".npz"):
+        d = np.load(path, allow_pickle=True)
+        # accept either {anc_idx, pos_idx-lists} or row-per-loop arrays
+        if "anc_idx" in d and "pos_idx" in d:
+            for a, p in zip(d["anc_idx"], d["pos_idx"]):
+                a = int(a)
+                if a < n:
+                    gt[a] = list(np.atleast_1d(p).astype(int))
+        else:
+            arr = d[d.files[0]]
+            for row in arr.reshape(-1, 2):
+                if int(row[0]) < n:
+                    gt[int(row[0])].append(int(row[1]))
+    else:
+        arr = np.loadtxt(path)
+        for row in np.atleast_2d(arr)[:, :2]:
+            if int(row[0]) < n:
+                gt[int(row[0])].append(int(row[1]))
+    return gt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset_root", required=True)
+    ap.add_argument("--seq", type=int, default=0)
+    ap.add_argument("--num_frames", type=int, default=None)
+    ap.add_argument("--snapshot", default=None)
+    ap.add_argument("--gt_file", default=None, help="overlap GT npz/text")
+    ap.add_argument("--descriptor_dir", default="output/features/loop_detection")
+    ap.add_argument("--batch", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.data.kitti import KittiScanSource, pad_points
+    from lcrnet_tpu.engine.checkpoint import load_snapshot
+    from lcrnet_tpu.pipeline import init_params, make_describe
+    from lcrnet_tpu.utils.retrieval import evaluate_loop_detection
+
+    cfg = make_cfg()
+    params = init_params(cfg)
+    if args.snapshot:
+        params = load_snapshot(args.snapshot, template={"params": params})["params"]
+
+    source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
+    # frame count: probe the directory
+    import glob
+
+    frames = sorted(
+        glob.glob(osp.join(source.down_dir, "*.npy"))
+        + glob.glob(osp.join(source.bin_dir, "*.bin"))
+    )
+    n = len(frames) if args.num_frames is None else min(args.num_frames, len(frames))
+    if n == 0:
+        raise SystemExit("no scans found")
+
+    describe = jax.jit(make_describe(cfg))
+    os.makedirs(args.descriptor_dir, exist_ok=True)
+
+    descs = np.zeros((n, cfg.backbone.output_dim), np.float32)
+    t0 = time.time()
+    cap = cfg.shapes.points[0]
+    for start in range(0, n, args.batch):
+        idxs = range(start, min(start + args.batch, n))
+        pts, msks = [], []
+        for i in idxs:
+            p, m = pad_points(source(i), cap)
+            pts.append(p)
+            msks.append(m)
+        while len(pts) < args.batch:  # static batch shape
+            pts.append(pts[-1])
+            msks.append(msks[-1])
+        out = describe(params, jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(msks)))
+        out = np.asarray(out)
+        for j, i in enumerate(idxs):
+            descs[i] = out[j]
+        if (start // args.batch) % 50 == 0:
+            rate = (start + args.batch) / (time.time() - t0)
+            print(f"[{start + len(list(idxs))}/{n}] {rate:.1f} scans/s")
+
+    np.savez(osp.join(args.descriptor_dir, f"seq{args.seq:02d}_descriptors.npz"), descriptors=descs)
+
+    if args.gt_file:
+        gt = load_overlap_gt(args.gt_file, n)
+        res = evaluate_loop_detection(descs, gt)
+        print(
+            f"AUC: {res['AUC']:.3f}  F1max: {res['F1max']:.3f}  "
+            f"Recall@1: {res['Recall@1']:.3f}  Recall@1%: {res['Recall@1pct']:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

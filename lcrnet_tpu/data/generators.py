@@ -1,0 +1,173 @@
+"""Offline ground-truth pair generation.
+
+Parity targets (`/root/reference/data/*`, SURVEY.md §2.5):
+  - `data/Kitti/downsample_pcd.py:9-46` — 0.3 m voxel downsample of raw
+    velodyne scans into npy files
+  - `data/Kitti/generate_kitti_pairs.py:12-182` — continuous registration
+    pairs: consecutive frames > 10 m apart, GT from odometry poses refined
+    by ICP
+  - `data/Kitti/generate_kitti_loop_pairs.py` — loop pairs: frame pairs
+    < 4 m apart with >= 100-frame index gap
+  - overlap-based loop GT (overlap > 0.3) for retrieval evaluation
+
+open3d is not available here; the ICP refinement is our own
+point-to-point ICP built on the native cell-list neighbor search + the
+device Procrustes solver.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from lcrnet_tpu.data.kitti import relative_transform, voxel_downsample
+from lcrnet_tpu.native.host_ops import radius_neighbors_native
+from lcrnet_tpu.utils.metrics import apply_transform_np
+
+
+def downsample_sequence(
+    bin_dir: str, out_dir: str, voxel_size: float = 0.3, limit: Optional[int] = None
+):
+    """Voxel-downsample every scan of a sequence into npy files
+    (reference `downsample_pcd.py`)."""
+    from lcrnet_tpu.native.host_ops import load_kitti_bin_native
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(f for f in os.listdir(bin_dir) if f.endswith(".bin"))
+    if limit:
+        files = files[:limit]
+    for f in files:
+        pts = load_kitti_bin_native(osp.join(bin_dir, f))
+        down = voxel_downsample(pts, voxel_size)
+        np.save(osp.join(out_dir, f.replace(".bin", ".npy")), down.astype(np.float32))
+    return len(files)
+
+
+def icp_refine(
+    src: np.ndarray,
+    ref: np.ndarray,
+    init_transform: np.ndarray,
+    max_corr_dist: float = 0.5,
+    iterations: int = 20,
+) -> np.ndarray:
+    """Point-to-point ICP: refine src->ref starting from init_transform.
+
+    Replaces the reference's open3d `registration_icp` in pair generation.
+    """
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.ops.procrustes import weighted_procrustes
+
+    transform = init_transform.astype(np.float64).copy()
+    for _ in range(iterations):
+        moved = apply_transform_np(src, transform)
+        idx, counts = radius_neighbors_native(moved, ref, max_corr_dist, 1)
+        valid = counts > 0
+        if valid.sum() < 10:
+            break
+        pairs_src = src[valid]
+        pairs_ref = ref[idx[valid, 0]]
+        new_t = np.asarray(
+            weighted_procrustes(jnp.asarray(pairs_src, jnp.float32), jnp.asarray(pairs_ref, jnp.float32))
+        ).astype(np.float64)
+        if np.allclose(new_t, transform, atol=1e-7):
+            transform = new_t
+            break
+        transform = new_t
+    return transform.astype(np.float32)
+
+
+def generate_registration_pairs(
+    poses: np.ndarray,
+    scan_source: Optional[Callable[[int], np.ndarray]] = None,
+    min_distance: float = 10.0,
+    refine: bool = False,
+) -> List[dict]:
+    """Consecutive pairs with > min_distance travel (reference
+    `generate_kitti_pairs.py`): walk the trajectory, emit (anc=i, pos=j)
+    where j is the first later frame farther than min_distance."""
+    positions = poses[:, :3, 3]
+    pairs = []
+    i = 0
+    n = len(poses)
+    while i < n:
+        j = i + 1
+        while j < n and np.linalg.norm(positions[j] - positions[i]) < min_distance:
+            j += 1
+        if j >= n:
+            break
+        t = relative_transform(poses[j], poses[i])  # src=i into frame of ref=j
+        if refine and scan_source is not None:
+            t = icp_refine(scan_source(i), scan_source(j), t)
+        pairs.append({"anc_idx": i, "pos_idx": j, "transform": t})
+        i = j
+    return pairs
+
+
+def generate_loop_pairs(
+    poses: np.ndarray,
+    max_distance: float = 4.0,
+    min_index_gap: int = 100,
+    scan_source: Optional[Callable[[int], np.ndarray]] = None,
+    refine: bool = False,
+) -> List[dict]:
+    """Loop-closure pairs: spatially close (< max_distance) revisits with a
+    temporal gap (reference `generate_kitti_loop_pairs.py`)."""
+    positions = poses[:, :3, 3]
+    pairs = []
+    for i in range(len(poses)):
+        earlier = positions[: max(i - min_index_gap, 0)]
+        if len(earlier) == 0:
+            continue
+        d = np.linalg.norm(earlier - positions[i], axis=1)
+        j = int(np.argmin(d))
+        if d[j] < max_distance:
+            t = relative_transform(poses[j], poses[i])
+            if refine and scan_source is not None:
+                t = icp_refine(scan_source(i), scan_source(j), t)
+            pairs.append({"anc_idx": i, "pos_idx": j, "transform": t})
+    return pairs
+
+
+def scan_overlap(
+    ref: np.ndarray, src: np.ndarray, transform: np.ndarray, radius: float = 0.5
+) -> float:
+    """Fraction of src points with a ref point within radius after alignment
+    (the overlap measure behind the retrieval GT, overlap > 0.3)."""
+    moved = apply_transform_np(src, transform)
+    _, counts = radius_neighbors_native(moved, ref, radius, 1)
+    return float(np.mean(counts > 0))
+
+
+def generate_overlap_loop_gt(
+    poses: np.ndarray,
+    scan_source: Callable[[int], np.ndarray],
+    overlap_threshold: float = 0.3,
+    coarse_distance: float = 15.0,
+    min_index_gap: int = 100,
+) -> List[List[int]]:
+    """Per-frame lists of loop frames with scan overlap > threshold
+    (retrieval ground truth; reference `loop_gt_seq00_0.3overlap` npz)."""
+    positions = poses[:, :3, 3]
+    n = len(poses)
+    gt: List[List[int]] = [[] for _ in range(n)]
+    cache = {}
+
+    def get(i):
+        if i not in cache:
+            cache[i] = scan_source(i)
+        return cache[i]
+
+    for i in range(n):
+        earlier = positions[: max(i - min_index_gap, 0)]
+        if len(earlier) == 0:
+            continue
+        d = np.linalg.norm(earlier - positions[i], axis=1)
+        for j in np.nonzero(d < coarse_distance)[0]:
+            t = relative_transform(poses[j], poses[i])
+            if scan_overlap(get(int(j)), get(i), t) > overlap_threshold:
+                gt[i].append(int(j))
+    return gt

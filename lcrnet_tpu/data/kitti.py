@@ -42,8 +42,8 @@ def load_scan_bin(path: str) -> np.ndarray:
 def voxel_downsample(points: np.ndarray, voxel_size: float = 0.3) -> np.ndarray:
     """Offline voxel-barycenter downsample (same semantics as the C++
     extension / open3d path in `data/Kitti/downsample_pcd.py`)."""
-    mins = points.min(axis=0)
-    ijk = np.floor((points - mins) / voxel_size).astype(np.int64)
+    origin = np.floor(points.min(axis=0) / voxel_size) * voxel_size
+    ijk = np.floor((points - origin) / voxel_size).astype(np.int64)
     n = ijk.max(axis=0) + 1
     ids = ijk[:, 0] + n[0] * ijk[:, 1] + n[0] * n[1] * ijk[:, 2]
     order = np.argsort(ids, kind="stable")

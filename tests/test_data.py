@@ -1,0 +1,136 @@
+"""Tests for the data pipeline: KITTI utils, loaders, pair generators."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from lcrnet_tpu.config import make_test_cfg
+from lcrnet_tpu.data.generators import (
+    generate_loop_pairs,
+    generate_registration_pairs,
+    icp_refine,
+    scan_overlap,
+)
+from lcrnet_tpu.data.kitti import (
+    AugmentConfig,
+    augment_pair,
+    load_kitti_gt_pose,
+    pad_points,
+    relative_transform,
+    voxel_downsample,
+    yaw_rotation,
+)
+from lcrnet_tpu.data.loader import RegistrationPairDataset, batch_pairs, pair_loader
+
+from oracles import grid_subsample_oracle, random_se3
+
+
+def circle_poses(n=500, radius=50.0):
+    """Synthetic looping trajectory (two laps of a circle)."""
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):
+        a = 4 * np.pi * i / n  # two laps
+        poses[i, 0, 3] = radius * np.cos(a)
+        poses[i, 1, 3] = radius * np.sin(a)
+        c, s = np.cos(a), np.sin(a)
+        poses[i, :3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    return poses
+
+
+def test_voxel_downsample_matches_oracle(rng):
+    pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    got = voxel_downsample(pts, 1.0)
+    want = grid_subsample_oracle(pts.astype(np.float64), 1.0)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got[np.lexsort(got.T)], want[np.lexsort(want.T)], atol=1e-4)
+
+
+def test_relative_transform_roundtrip(rng):
+    pa = random_se3(rng)
+    pb = random_se3(rng)
+    t = relative_transform(pa, pb)  # src(b-frame) points -> a-frame
+    p_world = rng.normal(size=3)
+    p_a = np.linalg.inv(pa) @ np.append(p_world, 1.0)
+    p_b = np.linalg.inv(pb) @ np.append(p_world, 1.0)
+    np.testing.assert_allclose(t @ p_b, p_a, atol=1e-6)
+
+
+def test_augment_pair_preserves_alignment(rng):
+    src = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+    t = random_se3(rng).astype(np.float32)
+    ref = (src @ t[:3, :3].T + t[:3, 3]).astype(np.float32)
+    cfg = AugmentConfig(noise=0.0)
+    ref2, src2, t2 = augment_pair(ref, src, t, rng, cfg)
+    aligned = src2 @ t2[:3, :3].T + t2[:3, 3]
+    np.testing.assert_allclose(aligned, ref2, atol=1e-3)
+
+
+def test_pad_points_cap_and_mask(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    out, mask = pad_points(pts, 128)
+    assert mask.sum() == 100
+    np.testing.assert_allclose(out[:100], pts)
+    out2, mask2 = pad_points(pts, 128, point_limit=50, rng=rng)
+    assert mask2.sum() == 50
+
+
+def test_generate_registration_pairs_spacing():
+    poses = circle_poses()
+    pairs = generate_registration_pairs(poses, min_distance=10.0)
+    assert len(pairs) > 10
+    pos = poses[:, :3, 3]
+    for p in pairs:
+        d = np.linalg.norm(pos[p["pos_idx"]] - pos[p["anc_idx"]])
+        assert d >= 10.0
+        # transform maps src (anc) points into ref (pos) frame
+        t = p["transform"]
+        origin_src_in_world = pos[p["anc_idx"]]
+        origin_in_ref = np.linalg.inv(poses[p["pos_idx"]]) @ np.append(origin_src_in_world, 1.0)
+        np.testing.assert_allclose(t[:3, 3], origin_in_ref[:3], atol=1e-5)
+
+
+def test_generate_loop_pairs_revisits():
+    poses = circle_poses()
+    pairs = generate_loop_pairs(poses, max_distance=4.0, min_index_gap=100)
+    assert len(pairs) > 0
+    for p in pairs:
+        assert p["anc_idx"] - p["pos_idx"] >= 100
+
+
+def test_icp_refine_converges(rng):
+    ref = rng.uniform(-10, 10, (800, 3)).astype(np.float32)
+    true_t = random_se3(rng, max_angle=0.2, max_trans=0.5).astype(np.float32)
+    inv = np.linalg.inv(true_t)
+    src = (ref @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    # perturbed init
+    noise_t = random_se3(rng, max_angle=0.03, max_trans=0.1).astype(np.float32)
+    init = (noise_t @ true_t).astype(np.float32)
+    refined = icp_refine(src, ref, init, max_corr_dist=1.0, iterations=30)
+    err_before = np.linalg.norm(init[:3, 3] - true_t[:3, 3])
+    err_after = np.linalg.norm(refined[:3, 3] - true_t[:3, 3])
+    assert err_after < err_before
+    assert err_after < 0.02
+
+
+def test_scan_overlap_full_and_none(rng):
+    pts = rng.uniform(-10, 10, (300, 3)).astype(np.float32)
+    assert scan_overlap(pts, pts, np.eye(4, dtype=np.float32)) == 1.0
+    far = pts + 100.0
+    assert scan_overlap(far, pts, np.eye(4, dtype=np.float32)) == 0.0
+
+
+def test_pair_dataset_and_loader(rng):
+    cfg = make_test_cfg()
+    scans = {i: rng.uniform(-5, 5, (300, 3)).astype(np.float32) for i in range(6)}
+    pairs = [
+        {"anc_idx": i, "pos_idx": i + 1, "transform": np.eye(4, dtype=np.float32)}
+        for i in range(5)
+    ]
+    ds = RegistrationPairDataset(lambda i: scans[i], pairs, cfg)
+    assert len(ds) == 5
+    sample = ds[0]
+    assert sample["points"].shape == (2, cfg.shapes.points[0], 3)
+    batches = list(pair_loader(ds, batch_size=2, shuffle=True, seed=1))
+    assert len(batches) == 2
+    assert batches[0].points.shape == (2, 2, cfg.shapes.points[0], 3)
