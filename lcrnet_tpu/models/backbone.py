@@ -31,7 +31,7 @@ from lcrnet_tpu.models.kpconv import (
 )
 from lcrnet_tpu.models.vote import VoteLayer
 from lcrnet_tpu.ops.nms import compact_by_mask, greedy_radius_nms
-from lcrnet_tpu.ops.radius_search import radius_search
+from lcrnet_tpu.ops.radius_search import radius_search_batched
 from lcrnet_tpu.ops.pyramid import Pyramid
 
 
@@ -118,11 +118,9 @@ class VoteEncoder(nn.Module):
 
         # average shifted points within nms_radius of each kept node
         # (reference `backbone4.py:149-178`, on-device instead of .cpu())
-        idx, val = jax.vmap(
-            lambda q, s, qm, sm: radius_search(
-                q, s, qm, sm, self.nms_radius, self.vote_neighbor_limit
-            )
-        )(nodes, shifted, node_masks, masks_c)
+        idx, val = radius_search_batched(
+            nodes, shifted, node_masks, masks_c, self.nms_radius, self.vote_neighbor_limit
+        )
         nb_pts = batched_gather(shifted, idx, val)
         counts = jnp.maximum(jnp.sum(val.astype(jnp.float32), axis=-1), 1.0)
         centers = jnp.sum(nb_pts, axis=-2) / counts[..., None]
@@ -133,12 +131,12 @@ class VoteEncoder(nn.Module):
         # then two self blocks at radius*16)
         d, ks, gn = self.init_dim, self.kernel_size, self.group_norm
         r, sg = self.init_radius, self.init_sigma
-        sub_idx, sub_val = jax.vmap(
-            lambda q, s, qm, sm: radius_search(q, s, qm, sm, r * 8, self.sub_neighbor_limit)
-        )(centers, points_c, node_masks, masks_c)
-        self_idx, self_val = jax.vmap(
-            lambda q, s, qm, sm: radius_search(q, s, qm, sm, r * 16, self.self_neighbor_limit)
-        )(centers, centers, node_masks, node_masks)
+        sub_idx, sub_val = radius_search_batched(
+            centers, points_c, node_masks, masks_c, r * 8, self.sub_neighbor_limit
+        )
+        self_idx, self_val = radius_search_batched(
+            centers, centers, node_masks, node_masks, r * 16, self.self_neighbor_limit
+        )
 
         x = ResidualBlock(d * 4, d * 4, ks, r * 8, sg * 8, gn, strided=True)(
             feats_c, centers, points_c, sub_idx, sub_val, node_masks, masks_c

@@ -90,6 +90,7 @@ class KPConv(nn.Module):
         )
 
         b, m, h = neighbor_indices.shape
+        n = s_points.shape[1]
         k = self.kernel_size
         c_in, c_out = self.in_channels, self.out_channels
         w_flat = weights.reshape(k * c_in, c_out)
@@ -97,56 +98,55 @@ class KPConv(nn.Module):
 
         block = min(self.query_block, m)
         pad = (-m) % block
-        num_blocks = (m + pad) // block
+        nb = (m + pad) // block
 
-        def per_cloud(feats, qp, sp, idx, msk):
-            qp = jnp.pad(qp, ((0, pad), (0, 0)))
-            idx = jnp.pad(idx, ((0, pad), (0, 0)))
-            msk = jnp.pad(msk, ((0, pad), (0, 0)))
-            qp = qp.reshape(num_blocks, block, 3)
-            idx = idx.reshape(num_blocks, block, h)
-            msk = msk.reshape(num_blocks, block, h)
+        # flatten clouds x query-blocks into ONE map; the per-block support
+        # cloud is selected by dynamic index (vmapping a per-cloud lax.map
+        # compiles to a much slower program on TPU)
+        qp = jnp.pad(q_points, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, 3)
+        idx = jnp.pad(neighbor_indices, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, h)
+        msk = jnp.pad(neighbor_masks, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, h)
+        cloud_of_block = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nb)
 
-            def one_block(args):
-                bqp, bidx, bmsk = args
-                n = sp.shape[0]
-                ci = jnp.clip(bidx, 0, n - 1)
-                nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
-                rel = nb_pts - bqp[:, None, :]
-                rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
-                # d^2 to kernel points via expansion -> (block, H, K)
-                cross = lax.dot_general(
-                    rel, kp,
-                    dimension_numbers=(((2,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
-                # clamp at a small positive value: a self-neighbor sits exactly
-                # on the center kernel point and sqrt(0) has an infinite
-                # gradient (the reference dodges this only via its random
-                # kernel-point noise, `kernel_points.py:449`)
-                d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
-                infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,H,K)
+        def one_block(args):
+            bqp, bidx, bmsk, cid = args
+            sp = lax.dynamic_index_in_dim(s_points, cid, axis=0, keepdims=False)
+            feats = lax.dynamic_index_in_dim(s_feats, cid, axis=0, keepdims=False)
+            ci = jnp.clip(bidx, 0, n - 1)
+            nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
+            rel = nb_pts - bqp[:, None, :]
+            rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
+            # d^2 to kernel points via expansion -> (block, H, K)
+            cross = lax.dot_general(
+                rel, kp,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
+            # clamp at a small positive value: a self-neighbor sits exactly
+            # on the center kernel point and sqrt(0) has an infinite
+            # gradient (the reference dodges this only via its random
+            # kernel-point noise, `kernel_points.py:449`)
+            d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
+            infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,H,K)
 
-                nb_feats = feats[ci.reshape(-1)].reshape(block, h, c_in)
-                nb_feats = jnp.where(bmsk[..., None], nb_feats, 0.0)
-                # (block, K, H) @ (block, H, C_in) -> (block, K, C_in)
-                weighted = lax.dot_general(
-                    jnp.swapaxes(infl, 1, 2), nb_feats,
-                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32,
-                )
-                out = jnp.dot(
-                    weighted.reshape(block, k * c_in), w_flat,
-                    preferred_element_type=jnp.float32,
-                )
-                count = jnp.maximum(jnp.sum(bmsk.astype(jnp.float32), axis=1), 1.0)
-                return out / count[:, None]
+            nb_feats = feats[ci.reshape(-1)].reshape(block, h, c_in)
+            nb_feats = jnp.where(bmsk[..., None], nb_feats, 0.0)
+            # (block, K, H) @ (block, H, C_in) -> (block, K, C_in)
+            weighted = lax.dot_general(
+                jnp.swapaxes(infl, 1, 2), nb_feats,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            out = jnp.dot(
+                weighted.reshape(block, k * c_in), w_flat,
+                preferred_element_type=jnp.float32,
+            )
+            count = jnp.maximum(jnp.sum(bmsk.astype(jnp.float32), axis=1), 1.0)
+            return out / count[:, None]
 
-            out = lax.map(one_block, (qp, idx, msk))
-            return out.reshape(num_blocks * block, c_out)[:m]
-
-        out = jax.vmap(per_cloud)(s_feats, q_points, s_points, neighbor_indices, neighbor_masks)
+        out = lax.map(one_block, (qp, idx, msk, cloud_of_block))
+        out = out.reshape(b, nb * block, c_out)[:, :m]
         if bias is not None:
             out = out + bias
         return out

@@ -15,21 +15,19 @@ import jax.numpy as jnp
 
 from lcrnet_tpu.config import LCRNetConfig
 from lcrnet_tpu.models.lcrnet import LCRNet
-from lcrnet_tpu.ops.pyramid import Pyramid, build_pyramid
+from lcrnet_tpu.ops.pyramid import Pyramid, build_pyramid_batched
 
 
 def build_batch_pyramid(points: jnp.ndarray, masks: jnp.ndarray, cfg: LCRNetConfig) -> Pyramid:
     """(B, N0, 3) + (B, N0) -> batched Pyramid."""
-    return jax.vmap(
-        lambda p, m: build_pyramid(
-            p,
-            m,
-            cfg.shapes.points,
-            cfg.shapes.neighbor_limits,
-            cfg.backbone.init_voxel_size,
-            cfg.backbone.init_radius,
-        )
-    )(points, masks)
+    return build_pyramid_batched(
+        points,
+        masks,
+        cfg.shapes.points,
+        cfg.shapes.neighbor_limits,
+        cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius,
+    )
 
 
 def make_pair_forward(cfg: LCRNetConfig, with_global_head: bool = True):

@@ -81,16 +81,20 @@ def test_pyramid_neighbor_tables_are_self_consistent(rng):
     assert sub_val[m1].any(axis=1).all()  # every valid coarse point has a parent
 
 
-def test_pyramid_vmaps_over_pair(rng):
+def test_pyramid_batched_over_pair(rng):
+    from lcrnet_tpu.ops.pyramid import build_pyramid_batched
+
     pts_a = make_cloud(rng, n=250)
     pts_b = make_cloud(rng, n=280)
     pa, ma = pad(pts_a, 384)
     pb, mb = pad(pts_b, 384)
     stacked_p = jnp.stack([pa, pb])
     stacked_m = jnp.stack([ma, mb])
-    pyr = jax.vmap(
-        lambda p, m: build_pyramid(p, m, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275)
-    )(stacked_p, stacked_m)
+    pyr = build_pyramid_batched(stacked_p, stacked_m, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275)
     assert pyr.points[0].shape == (2, 384, 3)
     counts = np.asarray(pyr.masks[0]).sum(axis=1)
     np.testing.assert_array_equal(counts, [250, 280])
+    # batched tables agree with the single-cloud path
+    single = build_pyramid(pa, ma, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275)
+    np.testing.assert_array_equal(np.asarray(pyr.neighbors[0][0]), np.asarray(single.neighbors[0]))
+    np.testing.assert_array_equal(np.asarray(pyr.upsampling[0][0]), np.asarray(single.upsampling[0]))
