@@ -121,6 +121,7 @@ class KPConv(nn.Module):
                 rel, kp,
                 dimension_numbers=(((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,  # coordinate math: no bf16
             )
             rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
             # clamp at a small positive value: a self-neighbor sits exactly

@@ -17,11 +17,15 @@ def pairwise_distance(x: jnp.ndarray, y: jnp.ndarray, normalized: bool = False) 
     If ``normalized`` (unit-norm rows), uses d2 = 2 - 2 xy.
     Clamped at 1e-12 like the reference to keep sqrt-gradients finite.
     """
+    # Precision.HIGHEST is load-bearing: the TPU default computes matmul
+    # inputs in bf16, and with |coord| ~ 100 m the x^2 - 2xy + y^2
+    # cancellation then carries O(10 m^2) error — radius predicates break.
     xy = lax.dot_general(
         x,
         y,
         dimension_numbers=(((x.ndim - 1,), (y.ndim - 1,)), (tuple(range(x.ndim - 2)), tuple(range(y.ndim - 2)))),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     if normalized:
         sq = 2.0 - 2.0 * xy

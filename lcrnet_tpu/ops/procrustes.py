@@ -51,7 +51,12 @@ def weighted_procrustes(
     src_c = src_points - src_centroid
     ref_c = ref_points - ref_centroid
 
-    h = jnp.einsum("bnc,bnd->bcd", src_c.astype(jnp.float32), (w * ref_c).astype(jnp.float32))
+    h = jnp.einsum(
+        "bnc,bnd->bcd",
+        src_c.astype(jnp.float32),
+        (w * ref_c).astype(jnp.float32),
+        precision="highest",  # coordinate math: no bf16 on TPU
+    )
     u, _, vt = jnp.linalg.svd(h)
     ut = jnp.swapaxes(u, -1, -2)
     v = jnp.swapaxes(vt, -1, -2)

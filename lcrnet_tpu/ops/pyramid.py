@@ -30,7 +30,21 @@ from lcrnet_tpu.ops.radius_search import (
     nearest_search_batched,
     radius_search,
     radius_search_batched,
+    radius_search_cells_batched,
 )
+
+# supports above this size use the banded search (x-sorted contiguous
+# windows); below it the dense sweep wins on fixed overheads.  The cell-list
+# variant exists too but its scattered gathers lose badly on TPU.
+_BANDED_SEARCH_MIN_SUPPORT = 4096
+
+
+def _search(q, s, qm, sm, radius, limit):
+    if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT:
+        from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
+
+        return radius_search_banded_batched(q, s, qm, sm, radius, limit)
+    return radius_search_batched(q, s, qm, sm, radius, limit)
 
 
 class Pyramid(NamedTuple):
@@ -74,13 +88,11 @@ def build_pyramid_batched(
     upsampling, upsampling_masks = [], []
     radius = init_radius
     for i in range(num_stages):
-        idx, val = radius_search_batched(
-            pts[i], pts[i], msks[i], msks[i], radius, neighbor_limits[i]
-        )
+        idx, val = _search(pts[i], pts[i], msks[i], msks[i], radius, neighbor_limits[i])
         neighbors.append(idx)
         neighbor_masks.append(val)
         if i < num_stages - 1:
-            idx, val = radius_search_batched(
+            idx, val = _search(
                 pts[i + 1], pts[i], msks[i + 1], msks[i], radius, neighbor_limits[i]
             )
             subsampling.append(idx)

@@ -121,6 +121,204 @@ def radius_search_batched(
     return idx, valid
 
 
+def radius_search_cells_batched(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    s_mask: jnp.ndarray,
+    radius: float,
+    limit: int,
+    bucket_capacity: int = 192,
+    hash_bits: int = 15,
+    block_size: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cell-list radius search: hash supports into 2r-cells, probe the 8
+    cells covering each query's radius ball, distance-check only those
+    candidates.  ~10x less distance/top-k work than the dense sweep at
+    KITTI densities.
+
+    Exact nearest-first semantics up to `bucket_capacity` supports per hash
+    bucket (overflow drops the surplus — the same truncation philosophy as
+    the reference's calibrated neighbor limits).  Hash collisions only add
+    candidates (filtered by distance), never lose them.
+    """
+    b, q, _ = q_points.shape
+    s = s_points.shape[1]
+    r2 = radius * radius
+    cell = 2.0 * radius
+    h_size = 1 << hash_bits
+    cap = bucket_capacity
+
+    def cell_hash(c):
+        # int32 multiply-xor hash; wraparound is fine (deterministic)
+        return (
+            (c[..., 0] * jnp.int32(73856093))
+            ^ (c[..., 1] * jnp.int32(19349663))
+            ^ (c[..., 2] * jnp.int32(83492791))
+        ) & jnp.int32(h_size - 1)
+
+    s_cells = jnp.floor(s_points / cell).astype(jnp.int32)
+    s_hash = jnp.where(s_mask, cell_hash(s_cells), h_size)  # invalid -> tail
+    order = jnp.argsort(s_hash, axis=-1).astype(jnp.int32)  # (B, S)
+    sorted_hash = jnp.take_along_axis(s_hash, order, axis=-1)
+
+    block = min(block_size, q)
+    pad = (-q) % block
+    nb = (q + pad) // block
+    qp = jnp.pad(q_points, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, 3)
+    cloud_of_block = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nb)
+
+    # offsets of the 8 cells covering the query's radius ball
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)], jnp.int32
+    )  # (8, 3)
+
+    def one_block(args):
+        blk, cid = args
+        sup = lax.dynamic_index_in_dim(s_points, cid, axis=0, keepdims=False)
+        sh = lax.dynamic_index_in_dim(sorted_hash, cid, axis=0, keepdims=False)
+        od = lax.dynamic_index_in_dim(order, cid, axis=0, keepdims=False)
+
+        base = jnp.floor((blk - radius) / cell).astype(jnp.int32)  # (block, 3)
+        cells = base[:, None, :] + offs[None, :, :]  # (block, 8, 3)
+        hashes = cell_hash(cells)  # (block, 8)
+        # a bucket probed twice (two neighbor cells hash-colliding) would
+        # duplicate its candidates — mask repeated probes
+        dup = jnp.zeros((block, 8), jnp.bool_)
+        for k in range(1, 8):
+            same = jnp.any(hashes[:, :k] == hashes[:, k : k + 1], axis=1)
+            dup = dup.at[:, k].set(same)
+
+        # lower_bound of each probe hash in the sorted support hashes
+        tgt = hashes.reshape(block * 8)
+        lo = jnp.zeros((block * 8,), jnp.int32)
+        hi = jnp.full((block * 8,), s, jnp.int32)
+
+        def bstep(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            v = sh[jnp.clip(mid, 0, s - 1)]
+            ge = v >= tgt
+            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+        lo, hi = lax.fori_loop(0, 16, bstep, (lo, hi))
+        starts = hi.reshape(block, 8)
+
+        pos = starts[:, :, None] + jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        pos_ok = pos < s
+        posc = jnp.clip(pos, 0, s - 1)
+        hash_ok = sh[posc.reshape(-1)].reshape(block, 8, cap) == hashes[:, :, None]
+        cand_ok = jnp.logical_and(jnp.logical_and(pos_ok, hash_ok), jnp.logical_not(dup[:, :, None]))
+        cand = od[posc.reshape(-1)].reshape(block, 8, cap)  # support indices
+
+        cpts = sup[cand.reshape(-1)].reshape(block, 8 * cap, 3)
+        d2 = jnp.sum((blk[:, None, :] - cpts) ** 2, axis=-1)
+        d2 = jnp.where(cand_ok.reshape(block, 8 * cap), d2, _BIG)
+        d2 = jnp.where(d2 <= r2, d2, _BIG)
+        neg, sel = lax.top_k(-d2, limit)
+        idx = jnp.take_along_axis(cand.reshape(block, 8 * cap), sel, axis=1)
+        return idx.astype(jnp.int32), neg > -_BIG / 2
+
+    idx, valid = lax.map(one_block, (qp, cloud_of_block))
+    idx = idx.reshape(b, nb * block, limit)[:, :q]
+    valid = valid.reshape(b, nb * block, limit)[:, :q]
+    valid = jnp.logical_and(valid, q_mask[..., None])
+    idx = jnp.where(valid, idx, s)
+    return idx, valid
+
+
+def radius_search_banded_batched(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    q_mask: jnp.ndarray,
+    s_mask: jnp.ndarray,
+    radius: float,
+    limit: int,
+    block_size: int = 2048,
+    window: int = 6144,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Banded radius search: sort both sides by x, then each query block
+    distance-checks only a contiguous window of x-sorted supports (every
+    true neighbor has |dx| <= radius).  All memory access is contiguous
+    slicing — no scattered gathers — with ~S/window less distance/top-k work
+    than the dense sweep.
+
+    The window start is the exact lower bound of (block_min_x - radius); a
+    window overflow (more than `window` supports within the block's x-span
+    + 2 radius — an extremely dense x-slab) drops the farthest-x surplus,
+    mirroring the reference's neighbor-limit truncation philosophy.
+    """
+    b, q, _ = q_points.shape
+    s = s_points.shape[1]
+    r2 = radius * radius
+    w = min(window, s)
+
+    # sort supports and queries by x (invalid rows carry PAD coords -> tail)
+    qx = jnp.where(q_mask, q_points[..., 0], 1.0e9)
+    sx = jnp.where(s_mask, s_points[..., 0], 1.0e9)
+    q_order = jnp.argsort(qx, axis=-1).astype(jnp.int32)       # (B, Q)
+    s_order = jnp.argsort(sx, axis=-1).astype(jnp.int32)       # (B, S)
+    q_sorted = jnp.take_along_axis(q_points, q_order[..., None], axis=1)
+    s_sorted = jnp.take_along_axis(s_points, s_order[..., None], axis=1)
+    s_sorted_x = jnp.take_along_axis(sx, s_order, axis=-1)
+    s_sorted_invalid = jnp.logical_not(
+        jnp.take_along_axis(s_mask, s_order, axis=-1)
+    )
+
+    block = min(block_size, q)
+    pad = (-q) % block
+    nb = (q + pad) // block
+    qp = jnp.pad(q_sorted, ((0, 0), (0, pad), (0, 0)), constant_values=1.0e9).reshape(
+        b * nb, block, 3
+    )
+    cloud_of_block = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nb)
+
+    def one_block(args):
+        blk, cid = args
+        ssx = lax.dynamic_index_in_dim(s_sorted_x, cid, axis=0, keepdims=False)
+        ssp = lax.dynamic_index_in_dim(s_sorted, cid, axis=0, keepdims=False)
+        sinv = lax.dynamic_index_in_dim(s_sorted_invalid, cid, axis=0, keepdims=False)
+        sord = lax.dynamic_index_in_dim(s_order, cid, axis=0, keepdims=False)
+
+        x_lo = blk[0, 0] - radius  # block is x-sorted: first row has min x
+        # lower bound of x_lo in sorted support x
+        def bstep(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            ge = ssx[mid] >= x_lo
+            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+        lo, hi = lax.fori_loop(
+            0, 16, bstep, (jnp.int32(0), jnp.int32(s))
+        )
+        ws = jnp.clip(hi, 0, s - w)
+
+        win_pts = lax.dynamic_slice(ssp, (ws, 0), (w, 3))
+        win_inv = lax.dynamic_slice(sinv, (ws,), (w,))
+        win_src = lax.dynamic_slice(sord, (ws,), (w,))  # original indices
+
+        d2 = pairwise_distance(blk, win_pts)
+        d2 = jnp.where(win_inv[None, :], _BIG, d2)
+        d2 = jnp.where(d2 <= r2, d2, _BIG)
+        neg, sel = lax.top_k(-d2, limit)
+        idx = win_src[sel.reshape(-1)].reshape(block, limit)
+        return idx.astype(jnp.int32), neg > -_BIG / 2
+
+    idx_sorted, valid_sorted = lax.map(one_block, (qp, cloud_of_block))
+    idx_sorted = idx_sorted.reshape(b, nb * block, limit)[:, :q]
+    valid_sorted = valid_sorted.reshape(b, nb * block, limit)[:, :q]
+
+    # un-permute back to original query order
+    inv = jax.vmap(
+        lambda o: jnp.zeros((q,), jnp.int32).at[o].set(jnp.arange(q, dtype=jnp.int32))
+    )(q_order)
+    idx = jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
+    valid = jnp.take_along_axis(valid_sorted, inv[..., None], axis=1)
+    valid = jnp.logical_and(valid, q_mask[..., None])
+    idx = jnp.where(valid, idx, s)
+    return idx, valid
+
+
 def nearest_search_batched(
     q_points: jnp.ndarray,
     s_points: jnp.ndarray,

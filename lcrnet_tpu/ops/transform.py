@@ -10,6 +10,11 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+from jax import lax
+
+# Coordinate matmuls must not go through bf16 (TPU default); 0.3 m rounding
+# at 100 m coordinates breaks inlier radii and residual tests.
+_PREC = lax.Precision.HIGHEST
 
 
 def apply_transform(points: jnp.ndarray, transform: jnp.ndarray,
@@ -23,28 +28,28 @@ def apply_transform(points: jnp.ndarray, transform: jnp.ndarray,
     if transform.ndim == 2:
         rotation = transform[:3, :3]
         translation = transform[:3, 3]
-        out = points @ rotation.T + translation
+        out = jnp.matmul(points, rotation.T, precision=_PREC) + translation
         if normals is not None:
-            return out, normals @ rotation.T
+            return out, jnp.matmul(normals, rotation.T, precision=_PREC)
         return out
     rotation = transform[..., :3, :3]
     translation = transform[..., None, :3, 3]
-    out = jnp.einsum("...nc,...dc->...nd", points, rotation) + translation
+    out = jnp.einsum("...nc,...dc->...nd", points, rotation, precision=_PREC) + translation
     if normals is not None:
-        return out, jnp.einsum("...nc,...dc->...nd", normals, rotation)
+        return out, jnp.einsum("...nc,...dc->...nd", normals, rotation, precision=_PREC)
     return out
 
 
 def apply_rotation(points: jnp.ndarray, rotation: jnp.ndarray,
                    normals: Optional[jnp.ndarray] = None):
     if rotation.ndim == 2:
-        out = points @ rotation.T
+        out = jnp.matmul(points, rotation.T, precision=_PREC)
         if normals is not None:
-            return out, normals @ rotation.T
+            return out, jnp.matmul(normals, rotation.T, precision=_PREC)
         return out
-    out = jnp.einsum("...nc,...dc->...nd", points, rotation)
+    out = jnp.einsum("...nc,...dc->...nd", points, rotation, precision=_PREC)
     if normals is not None:
-        return out, jnp.einsum("...nc,...dc->...nd", normals, rotation)
+        return out, jnp.einsum("...nc,...dc->...nd", normals, rotation, precision=_PREC)
     return out
 
 

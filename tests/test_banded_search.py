@@ -1,0 +1,55 @@
+"""Banded (x-sorted window) radius search vs the dense path."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lcrnet_tpu.ops.radius_search import radius_search_banded_batched, radius_search_batched
+
+
+def lidar_like(rng, b=2, n=900, cap=1024, extent=25.0):
+    pts = np.full((b, cap, 3), 1.0e6, np.float32)
+    msk = np.zeros((b, cap), bool)
+    for i in range(b):
+        # ground plane + a dense vertical wall (stresses the x-band)
+        ground = rng.uniform(-extent, extent, (n - 200, 3)).astype(np.float32)
+        ground[:, 2] = rng.uniform(-0.2, 0.2, n - 200)
+        wall = np.zeros((200, 3), np.float32)
+        wall[:, 0] = 3.0 + rng.uniform(-0.05, 0.05, 200)
+        wall[:, 1] = rng.uniform(-10, 10, 200)
+        wall[:, 2] = rng.uniform(0, 5, 200)
+        cloud = np.concatenate([ground, wall])
+        rng.shuffle(cloud)
+        pts[i, :n] = cloud
+        msk[i, :n] = True
+    return jnp.asarray(pts), jnp.asarray(msk)
+
+
+def test_banded_matches_dense_self(rng):
+    pts, msk = lidar_like(rng)
+    radius, limit = 1.275, 20
+    di, dv = radius_search_batched(pts, pts, msk, msk, radius, limit, block_size=256)
+    bi, bv = radius_search_banded_batched(
+        pts, pts, msk, msk, radius, limit, block_size=256, window=768
+    )
+    di, dv, bi, bv = map(np.asarray, (di, dv, bi, bv))
+    p = np.asarray(pts)
+    for b in range(2):
+        for i in range(0, 900, 11):
+            want = set(di[b, i][dv[b, i]].tolist())
+            got = set(bi[b, i][bv[b, i]].tolist())
+            assert want == got, (b, i)
+            d = np.linalg.norm(p[b][bi[b, i][bv[b, i]]] - p[b, i], axis=1)
+            assert np.all(np.diff(d) >= -1e-5)
+
+
+def test_banded_cross_sets(rng):
+    pts, msk = lidar_like(rng, n=700)
+    q = pts[:, :400] + jnp.asarray([0.3, -0.2, 0.05])
+    qm = msk[:, :400]
+    radius, limit = 2.0, 16
+    di, dv = radius_search_batched(q, pts, qm, msk, radius, limit, block_size=128)
+    bi, bv = radius_search_banded_batched(q, pts, qm, msk, radius, limit, block_size=128, window=768)
+    di, dv, bi, bv = map(np.asarray, (di, dv, bi, bv))
+    for b in range(2):
+        for i in range(0, 400, 7):
+            assert set(di[b, i][dv[b, i]].tolist()) == set(bi[b, i][bv[b, i]].tolist()), (b, i)
