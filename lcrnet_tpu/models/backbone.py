@@ -46,31 +46,34 @@ class KPEncoder(nn.Module):
     group_norm: int
 
     @nn.compact
-    def __call__(self, feats, pyramid: Pyramid):
-        """feats (B, N0, input_dim); pyramid holds per-stage (B, N_s, ...)."""
+    def __call__(self, feats, pyramid: Pyramid, norm_clouds: int = 2):
+        """feats (B, N0, input_dim); pyramid holds per-stage (B, N_s, ...).
+        norm_clouds: GroupNorm statistic grouping (2 = per pair, matching the
+        reference's pair-stacked norm; 1 = per cloud for descriptor batches).
+        """
         d, ks, r, sg, gn = self.init_dim, self.kernel_size, self.init_radius, self.init_sigma, self.group_norm
         p, m = pyramid.points, pyramid.masks
         nb, nbm = pyramid.neighbors, pyramid.neighbor_masks
         sub, subm = pyramid.subsampling, pyramid.subsampling_masks
 
         feats_list = []
-        x = ConvBlock(self.input_dim, d, ks, r, sg, gn)(feats, p[0], p[0], nb[0], nbm[0], m[0])
-        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0])
+        x = ConvBlock(self.input_dim, d, ks, r, sg, gn)(feats, p[0], p[0], nb[0], nbm[0], m[0], norm_clouds)
+        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0], norm_clouds)
         feats_list.append(x)
 
-        x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(x, p[1], p[0], sub[0], subm[0], m[1], m[0])
-        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1])
-        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1])
+        x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(x, p[1], p[0], sub[0], subm[0], m[1], m[0], norm_clouds)
+        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds)
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds)
         feats_list.append(x)
 
-        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(x, p[2], p[1], sub[1], subm[1], m[2], m[1])
-        x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2])
-        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2])
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(x, p[2], p[1], sub[1], subm[1], m[2], m[1], norm_clouds)
+        x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds)
+        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds)
         feats_list.append(x)
 
-        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn, strided=True)(x, p[3], p[2], sub[2], subm[2], m[3], m[2])
-        x = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3])
-        x = ResidualBlock(d * 16, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3])
+        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn, strided=True)(x, p[3], p[2], sub[2], subm[2], m[3], m[2], norm_clouds)
+        x = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds)
+        x = ResidualBlock(d * 16, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds)
         feats_list.append(x)
 
         return feats_list
@@ -101,7 +104,7 @@ class VoteEncoder(nn.Module):
     self_neighbor_limit: int
 
     @nn.compact
-    def __call__(self, feats_c, points_c, masks_c) -> VoteResult:
+    def __call__(self, feats_c, points_c, masks_c, norm_clouds: int = 2) -> VoteResult:
         """feats_c (B, N4, 256) post-transformer; points_c (B, N4, 3)."""
         shifted = VoteLayer(self.input_feats_dim, self.max_translate_range)(
             points_c, feats_c
@@ -139,13 +142,13 @@ class VoteEncoder(nn.Module):
         )
 
         x = ResidualBlock(d * 4, d * 4, ks, r * 8, sg * 8, gn, strided=True)(
-            feats_c, centers, points_c, sub_idx, sub_val, node_masks, masks_c
+            feats_c, centers, points_c, sub_idx, sub_val, node_masks, masks_c, norm_clouds
         )
         x = ResidualBlock(d * 4, d * 8, ks, r * 16, sg * 16, gn)(
-            x, centers, centers, self_idx, self_val, node_masks, node_masks
+            x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds
         )
         x = ResidualBlock(d * 8, d * 8, ks, r * 16, sg * 16, gn)(
-            x, centers, centers, self_idx, self_val, node_masks, node_masks
+            x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds
         )
 
         return VoteResult(
@@ -167,18 +170,18 @@ class KPDecoder(nn.Module):
     group_norm: int
 
     @nn.compact
-    def __call__(self, feats_list, pyramid: Pyramid):
+    def __call__(self, feats_list, pyramid: Pyramid, norm_clouds: int = 2):
         d, gn = self.init_dim, self.group_norm
         up, upm = pyramid.upsampling, pyramid.upsampling_masks
         m = pyramid.masks
 
         latent = nearest_upsample(feats_list[3], up[2], upm[2])
         latent = jnp.concatenate([latent, feats_list[2]], axis=-1)
-        latent = UnaryBlock(d * 12, d * 8, gn)(latent, m[2])
+        latent = UnaryBlock(d * 12, d * 8, gn)(latent, m[2], norm_clouds)
 
         latent = nearest_upsample(latent, up[1], upm[1])
         latent = jnp.concatenate([latent, feats_list[1]], axis=-1)
-        latent = UnaryBlock(d * 12, d * 4, gn)(latent, m[1])
+        latent = UnaryBlock(d * 12, d * 4, gn)(latent, m[1], norm_clouds)
 
         latent = nearest_upsample(latent, up[0], upm[0])
         latent = jnp.concatenate([latent, feats_list[0]], axis=-1)

@@ -154,25 +154,31 @@ class KPConv(nn.Module):
 
 
 class MaskedGroupNorm(nn.Module):
-    """GroupNorm over (B, N, C) with statistics from valid rows only,
-    computed jointly over the whole (B, N) extent (pair-stacked semantics of
-    the reference's `modules.py:33-52`)."""
+    """GroupNorm over (B, N, C) with statistics from valid rows only.
+
+    `clouds_per_group` controls which clouds share statistics: 2 reproduces
+    the reference's pair-stacked GroupNorm (`modules.py:33-52` normalizes the
+    whole [ref..., src...] stack jointly); 1 gives independent per-cloud
+    statistics (single-scan descriptor extraction — batchmates must not
+    couple)."""
 
     num_groups: int
     num_channels: int
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, clouds_per_group: int = 1):
         scale = self.param("scale", nn.initializers.ones, (self.num_channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
         b, n, c = x.shape
         g = self.num_groups
-        xg = x.reshape(b, n, g, c // g)
-        m = mask[:, :, None, None].astype(x.dtype)
-        denom = jnp.maximum(jnp.sum(m, axis=(0, 1)) * (c // g), 1.0)  # per group
-        mean = jnp.sum(xg * m, axis=(0, 1, 3), keepdims=True) / denom[None, None, :, None]
-        var = jnp.sum(((xg - mean) ** 2) * m, axis=(0, 1, 3), keepdims=True) / denom[None, None, :, None]
+        cg = clouds_per_group
+        assert b % cg == 0, (b, cg)
+        xg = x.reshape(b // cg, cg * n, g, c // g)
+        m = mask.reshape(b // cg, cg * n)[:, :, None, None].astype(x.dtype)
+        denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True) * (c // g), 1.0)  # (B/cg,1,1,1)
+        mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / denom
+        var = jnp.sum(((xg - mean) ** 2) * m, axis=(1, 3), keepdims=True) / denom
         out = (xg - mean) * lax.rsqrt(var + self.epsilon)
         out = out.reshape(b, n, c) * scale + bias
         return jnp.where(mask[..., None], out, 0.0)
@@ -187,9 +193,9 @@ class UnaryBlock(nn.Module):
     has_relu: bool = True
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, norm_clouds: int = 1):
         x = nn.Dense(self.out_channels)(x)
-        x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, mask)
+        x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, mask, norm_clouds)
         if self.has_relu:
             x = nn.leaky_relu(x, 0.1)
         return x
@@ -216,11 +222,12 @@ class ConvBlock(nn.Module):
     group_norm: int
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks, q_mask):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks, q_mask,
+                 norm_clouds: int = 1):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma
         )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks)
-        x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, q_mask)
+        x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, q_mask, norm_clouds)
         return nn.leaky_relu(x, 0.1)
 
 
@@ -250,18 +257,18 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
-                 q_mask, s_mask):
+                 q_mask, s_mask, norm_clouds: int = 1):
         mid = self.out_channels // 4
         if self.in_channels != mid:
-            x = UnaryBlock(self.in_channels, mid, self.group_norm)(s_feats, s_mask)
+            x = UnaryBlock(self.in_channels, mid, self.group_norm)(s_feats, s_mask, norm_clouds)
         else:
             x = s_feats
         x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)(
             x, q_points, s_points, neighbor_indices, neighbor_masks
         )
-        x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask)
+        x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask, norm_clouds)
         x = nn.leaky_relu(x, 0.1)
-        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False)(x, q_mask)
+        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False)(x, q_mask, norm_clouds)
 
         if self.strided:
             shortcut = maxpool(s_feats, neighbor_indices, neighbor_masks)
@@ -270,5 +277,5 @@ class ResidualBlock(nn.Module):
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(
                 self.in_channels, self.out_channels, self.group_norm, has_relu=False
-            )(shortcut, q_mask)
+            )(shortcut, q_mask, norm_clouds)
         return nn.leaky_relu(x + shortcut, 0.1)

@@ -8,14 +8,19 @@ Parity targets:
   - `model_family/LCRNet_GlobalDescrition.py:10-160` (retrieval: encoder +
     NetVLAD descriptor path)
 
-Naming map vs the reference: ref == pos (first cloud), src == anc (second
-cloud).  The cloud axis replaces the reference's ragged [pos..., anc...]
-stacking.
+Naming map vs the reference: ref == pos (cloud 0 of a pair), src == anc
+(cloud 1).  The cloud axis replaces the reference's ragged [pos..., anc...]
+stacking; `num_pairs` > 1 processes several pairs in one program (pair-major
+layout [(p0,ref),(p0,src),(p1,ref),...]) — the backbone is natively batched
+and the matching heads vmap over the pair axis.  GroupNorm statistics stay
+per pair (`norm_clouds=2`), so multi-pair results are identical to running
+pairs one at a time.
 
 One flax module covers the whole family: the global head and matching head
 are always constructed (stable parameter tree — the reference's
 `merge_model.py` checkpoint grafting becomes a trivial subtree copy), and
-`describe()` exposes the retrieval-only path over single clouds.
+`describe()` exposes the retrieval-only path over single clouds (per-cloud
+norm statistics).
 """
 
 from __future__ import annotations
@@ -28,7 +33,6 @@ import flax.linen as nn
 
 from lcrnet_tpu.config import LCRNetConfig
 from lcrnet_tpu.models.backbone import KPDecoder, KPEncoder, VoteEncoder
-from lcrnet_tpu.models.kpconv import batched_gather
 from lcrnet_tpu.models.matching import coarse_matching_ot, fine_matching_lgr
 from lcrnet_tpu.models.netvlad import NetVLAD
 from lcrnet_tpu.models.roformer import ThDRoFormer
@@ -90,9 +94,10 @@ class LCRNet(nn.Module):
     # ------------------------------------------------------------------
     def describe(self, pyramid: Pyramid) -> jnp.ndarray:
         """Retrieval path: (B, N, ...) pyramid -> (B, 256) global descriptors
-        (reference `LCRNet_GlobalDescrition.py:66-74`)."""
+        (reference `LCRNet_GlobalDescrition.py:66-74`).  Per-cloud norm
+        statistics — batchmates do not couple."""
         feats = pyramid.masks[0][..., None].astype(jnp.float32)
-        feats_list = self.encoder(feats, pyramid)
+        feats_list = self.encoder(feats, pyramid, norm_clouds=1)
         feats_c = l2_normalize(feats_list[3], axis=-1)
         desc = self.netvlad(feats_c, pyramid.masks[3])
         return l2_normalize(desc, axis=-1)
@@ -105,17 +110,22 @@ class LCRNet(nn.Module):
         training: bool = False,
         with_global_head: bool = True,
         with_fine_matching: bool = True,
+        num_pairs: int = 1,
     ) -> Dict[str, jnp.ndarray]:
-        """Full pair forward.
+        """Pair(s) forward.
 
         Args:
-          pyramid: pair pyramid with (2, N_s, ...) tensors (cloud 0 = ref/pos,
-            cloud 1 = src/anc).
-          transform: (4, 4) GT src->ref transform (required when training).
-          training: GT-target path (coarse targets sampled from GT
-            correspondences, fine matching skipped unless requested).
+          pyramid: pyramid over 2*num_pairs clouds, pair-major.
+          transform: (4, 4) GT src->ref (or (P, 4, 4) for multi-pair).
+          training: GT-target path; requires transform and num_pairs == 1.
+          num_pairs: static pair count P.
+
+        Output shapes: P == 1 keeps the single-pair contract (no pair axis
+        on matching outputs); P > 1 adds a leading P axis to per-pair keys.
         """
         c = self.cfg
+        p_pairs = num_pairs
+        squeeze = p_pairs == 1
         out: Dict[str, jnp.ndarray] = {}
 
         points_c = pyramid.points[3]
@@ -127,25 +137,29 @@ class LCRNet(nn.Module):
         out["ori_points_c"] = points_c
         out["ori_masks_c"] = masks_c
 
+        transforms = None
+        if transform is not None:
+            transforms = transform[None] if transform.ndim == 2 else transform  # (P,4,4)
+
         # 1. encoder
         feats = masks_f[..., None].astype(jnp.float32)
-        feats_list = self.encoder(feats, pyramid)
+        feats_list = self.encoder(feats, pyramid, norm_clouds=2)
 
         # 2. global descriptors from pre-transformer stage-4 features
         # (reference `LCRNet.py:115-122,300-305`)
         if with_global_head:
             desc = self.netvlad(l2_normalize(feats_list[3], axis=-1), masks_c)
             desc = l2_normalize(desc, axis=-1)
-            out["ref_feature_global"] = desc[0]
-            out["src_feature_global"] = desc[1]
+            out["ref_feature_global"] = desc[0] if squeeze else desc[0::2]
+            out["src_feature_global"] = desc[1] if squeeze else desc[1::2]
 
-        # 3. transformer over stage-4 nodes
+        # 3. transformer over stage-4 nodes (pair-aware cross attention)
         enhanced, theta = self.transformer(points_c, feats_list[3], masks_c, return_theta=True)
         out["theta"] = theta
         feats_list = feats_list[:3] + [enhanced]
 
         # 4. vote encoder -> NMS'd node set + stage-5 features
-        vote = self.vote_encoder(enhanced, points_c, masks_c)
+        vote = self.vote_encoder(enhanced, points_c, masks_c, norm_clouds=2)
         out["shifted_points"] = vote.shifted_points
         out["nodes"] = vote.nodes
         out["node_masks"] = vote.node_masks
@@ -163,127 +177,137 @@ class LCRNet(nn.Module):
             )
         )(points_f, vote.nodes, masks_f, vote.node_masks)
         node_occupied = jnp.logical_and(occupied, vote.node_masks)
+        from lcrnet_tpu.models.kpconv import batched_gather
+
         knn_points = batched_gather(points_f, knn_idx, knn_masks, fill=1.0e6)
+
+        # split the pair-major cloud axis: ref side 0::2, src side 1::2
+        r_nodes, s_nodes = vote.nodes[0::2], vote.nodes[1::2]
+        r_occ, s_occ = node_occupied[0::2], node_occupied[1::2]
+        r_knn_pts, s_knn_pts = knn_points[0::2], knn_points[1::2]
+        r_knn_idx, s_knn_idx = knn_idx[0::2], knn_idx[1::2]
+        r_knn_m, s_knn_m = knn_masks[0::2], knn_masks[1::2]
+        r_feats, s_feats = vote.node_feats[0::2], vote.node_feats[1::2]
 
         # 6. GT node correspondences (training/eval with GT)
         gt_corr = None
-        if transform is not None:
-            gt_corr = get_node_correspondences(
-                vote.nodes[0],
-                vote.nodes[1],
-                knn_points[0],
-                knn_points[1],
-                transform,
-                c.model.ground_truth_matching_radius,
-                node_occupied[0],
-                node_occupied[1],
-                knn_masks[0],
-                knn_masks[1],
-                capacity=4 * c.shapes.max_nodes,
-            )
-            out["gt_node_corr"] = gt_corr
+        if transforms is not None:
+            gt_corr = jax.vmap(
+                lambda rn, sn, rkp, skp, t, ro, so, rkm, skm: get_node_correspondences(
+                    rn, sn, rkp, skp, t,
+                    c.model.ground_truth_matching_radius,
+                    ro, so, rkm, skm,
+                    capacity=4 * c.shapes.max_nodes,
+                )
+            )(r_nodes, s_nodes, r_knn_pts, s_knn_pts, transforms, r_occ, s_occ, r_knn_m, s_knn_m)
+            out["gt_node_corr"] = jax.tree.map(lambda x: x[0], gt_corr) if squeeze else gt_corr
 
-        # 7. node optimal transport
-        node_scores_mat = (
-            vote.node_feats[0] @ vote.node_feats[1].T / vote.node_feats.shape[-1] ** 0.5
-        )
+        # 7. node optimal transport (batched over pairs)
+        node_scores_mat = jnp.einsum(
+            "pmc,pnc->pmn", r_feats, s_feats
+        ) / r_feats.shape[-1] ** 0.5
         node_matching_scores = log_optimal_transport(
-            node_scores_mat[None],
+            node_scores_mat,
             self.node_ot_alpha,
-            node_occupied[0][None],
-            node_occupied[1][None],
+            r_occ,
+            s_occ,
             c.model.num_sinkhorn_iterations,
             fused=not training,  # VMEM-fused kernel on the inference path
-        )[0]
-        out["node_matching_scores"] = node_matching_scores
+        )
+        out["node_matching_scores"] = node_matching_scores[0] if squeeze else node_matching_scores
         out["node_occupied"] = node_occupied
 
         # 8. coarse correspondences
         if training:
-            assert gt_corr is not None
+            assert gt_corr is not None and p_pairs == 1
             key = self.make_rng("sampling")
             targets = sample_targets(
-                gt_corr, c.coarse_matching.overlap_threshold, c.coarse_matching.num_targets, key
+                jax.tree.map(lambda x: x[0], gt_corr),
+                c.coarse_matching.overlap_threshold,
+                c.coarse_matching.num_targets,
+                key,
             )
-            node_corr_ref = targets.ref_indices
-            node_corr_src = targets.src_indices
-            node_corr_scores = targets.overlaps
-            node_corr_valid = targets.valid
+            node_corr_ref = targets.ref_indices[None]
+            node_corr_src = targets.src_indices[None]
+            node_corr_scores = targets.overlaps[None]
+            node_corr_valid = targets.valid[None]
         else:
-            ncr = coarse_matching_ot(
-                node_matching_scores,
-                node_occupied[0],
-                node_occupied[1],
-                capacity=c.shapes.node_corr_limit,
-                num_correspondences=c.coarse_matching.num_correspondences,
-            )
+            ncr = jax.vmap(
+                lambda s_mat, ro, so: coarse_matching_ot(
+                    s_mat, ro, so,
+                    capacity=c.shapes.node_corr_limit,
+                    num_correspondences=c.coarse_matching.num_correspondences,
+                )
+            )(node_matching_scores, r_occ, s_occ)
             node_corr_ref, node_corr_src = ncr.ref_indices, ncr.src_indices
             node_corr_scores, node_corr_valid = ncr.scores, ncr.valid
-        out["ref_node_corr_indices"] = node_corr_ref
-        out["src_node_corr_indices"] = node_corr_src
-        out["node_corr_scores"] = node_corr_scores
-        out["node_corr_valid"] = node_corr_valid
+        out["ref_node_corr_indices"] = node_corr_ref[0] if squeeze else node_corr_ref
+        out["src_node_corr_indices"] = node_corr_src[0] if squeeze else node_corr_src
+        out["node_corr_scores"] = node_corr_scores[0] if squeeze else node_corr_scores
+        out["node_corr_valid"] = node_corr_valid[0] if squeeze else node_corr_valid
 
         # 9. decoder -> fine features
-        feats_f = self.kpdecoder(feats_list, pyramid)
+        feats_f = self.kpdecoder(feats_list, pyramid, norm_clouds=2)
         out["feats_f"] = feats_f
 
-        # 10. patch tensors for the correspondence set
-        ref_knn_idx = knn_idx[0][node_corr_ref]       # (C, K)
-        src_knn_idx = knn_idx[1][node_corr_src]
-        ref_knn_m = jnp.logical_and(knn_masks[0][node_corr_ref], node_corr_valid[:, None])
-        src_knn_m = jnp.logical_and(knn_masks[1][node_corr_src], node_corr_valid[:, None])
-        ref_knn_pts = knn_points[0][node_corr_ref]
-        src_knn_pts = knn_points[1][node_corr_src]
+        # 10. patch tensors for the correspondence set (per pair)
+        def gather_patches(knn_i, knn_mm, knn_pts, feats_one, corr_idx, corr_valid):
+            sel_idx = knn_i[corr_idx]                   # (C, K)
+            sel_m = jnp.logical_and(knn_mm[corr_idx], corr_valid[:, None])
+            sel_pts = knn_pts[corr_idx]
+            n = feats_one.shape[0]
+            f = feats_one[jnp.clip(sel_idx, 0, n - 1).reshape(-1)].reshape(sel_idx.shape + (feats_one.shape[-1],))
+            f = jnp.where(sel_m[..., None], f, 0.0)
+            return sel_pts, sel_m, f
 
-        def gather_feats(f, idx, m):
-            n = f.shape[0]
-            return jnp.where(
-                m[..., None], f[jnp.clip(idx, 0, n - 1).reshape(-1)].reshape(idx.shape + (f.shape[-1],)), 0.0
-            )
+        ref_knn_pts, ref_knn_mm, ref_knn_f = jax.vmap(gather_patches)(
+            r_knn_idx, r_knn_m, r_knn_pts, feats_f[0::2], node_corr_ref, node_corr_valid
+        )
+        src_knn_pts, src_knn_mm, src_knn_f = jax.vmap(gather_patches)(
+            s_knn_idx, s_knn_m, s_knn_pts, feats_f[1::2], node_corr_src, node_corr_valid
+        )
+        out["ref_node_corr_knn_points"] = ref_knn_pts[0] if squeeze else ref_knn_pts
+        out["src_node_corr_knn_points"] = src_knn_pts[0] if squeeze else src_knn_pts
+        out["ref_node_corr_knn_masks"] = ref_knn_mm[0] if squeeze else ref_knn_mm
+        out["src_node_corr_knn_masks"] = src_knn_mm[0] if squeeze else src_knn_mm
 
-        ref_knn_feats = gather_feats(feats_f[0], ref_knn_idx, ref_knn_m)
-        src_knn_feats = gather_feats(feats_f[1], src_knn_idx, src_knn_m)
-        out["ref_node_corr_knn_points"] = ref_knn_pts
-        out["src_node_corr_knn_points"] = src_knn_pts
-        out["ref_node_corr_knn_masks"] = ref_knn_m
-        out["src_node_corr_knn_masks"] = src_knn_m
-
-        # 11. patch optimal transport
+        # 11. patch optimal transport ((P*C, K, K) in one fused batch)
+        pc = ref_knn_f.shape[0] * ref_knn_f.shape[1]
         patch_scores = jnp.einsum(
-            "pnc,pmc->pnm", ref_knn_feats, src_knn_feats
+            "pcnd,pcmd->pcnm", ref_knn_f, src_knn_f
         ) / feats_f.shape[-1] ** 0.5
+        k = patch_scores.shape[-1]
         matching_scores = log_optimal_transport(
-            patch_scores,
+            patch_scores.reshape(pc, k, k),
             self.point_ot_alpha,
-            ref_knn_m,
-            src_knn_m,
+            ref_knn_mm.reshape(pc, k),
+            src_knn_mm.reshape(pc, k),
             c.model.num_sinkhorn_iterations,
             fused=not training,
-        )
-        out["matching_scores"] = matching_scores
+        ).reshape(ref_knn_f.shape[0], ref_knn_f.shape[1], k + 1, k + 1)
+        out["matching_scores"] = matching_scores[0] if squeeze else matching_scores
 
         # 12. fine matching + LGR (eval path)
         if with_fine_matching:
-            fm = fine_matching_lgr(
-                ref_knn_pts,
-                src_knn_pts,
-                ref_knn_m,
-                src_knn_m,
-                matching_scores if c.fine_matching.use_dustbin else matching_scores[:, :-1, :-1],
-                node_corr_valid,
-                acceptance_radius=c.fine_matching.acceptance_radius,
-                corr_limit=c.shapes.corr_limit,
-                mutual=c.fine_matching.mutual,
-                use_dustbin=c.fine_matching.use_dustbin,
-                confidence_threshold=c.fine_matching.confidence_threshold,
-                correspondence_threshold=c.fine_matching.correspondence_threshold,
-                num_refinement_steps=c.fine_matching.num_refinement_steps,
-            )
-            out["ref_corr_points"] = fm.ref_corr_points
-            out["src_corr_points"] = fm.src_corr_points
-            out["corr_scores"] = fm.corr_scores
-            out["corr_valid"] = fm.corr_valid
-            out["estimated_transform"] = fm.estimated_transform
+            fm = jax.vmap(
+                lambda rp, sp, rm, sm, ms, nv: fine_matching_lgr(
+                    rp, sp, rm, sm,
+                    ms if c.fine_matching.use_dustbin else ms[:, :-1, :-1],
+                    nv,
+                    acceptance_radius=c.fine_matching.acceptance_radius,
+                    corr_limit=c.shapes.corr_limit,
+                    mutual=c.fine_matching.mutual,
+                    use_dustbin=c.fine_matching.use_dustbin,
+                    confidence_threshold=c.fine_matching.confidence_threshold,
+                    correspondence_threshold=c.fine_matching.correspondence_threshold,
+                    num_refinement_steps=c.fine_matching.num_refinement_steps,
+                )
+            )(ref_knn_pts, src_knn_pts, ref_knn_mm, src_knn_mm, matching_scores, node_corr_valid)
+            maybe = (lambda x: x[0]) if squeeze else (lambda x: x)
+            out["ref_corr_points"] = maybe(fm.ref_corr_points)
+            out["src_corr_points"] = maybe(fm.src_corr_points)
+            out["corr_scores"] = maybe(fm.corr_scores)
+            out["corr_valid"] = maybe(fm.corr_valid)
+            out["estimated_transform"] = maybe(fm.estimated_transform)
 
         return out

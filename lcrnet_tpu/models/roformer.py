@@ -138,11 +138,11 @@ class AttentionOutput(nn.Module):
 
 
 class ThDRoFormer(nn.Module):
-    """Interleaved self/cross transformer over a node pair.
+    """Interleaved self/cross transformer over node pairs.
 
-    Operates on a (2, N, C) cloud-batched pair: index 0 = ref/pos cloud,
-    index 1 = src/anc cloud.  Self-attention runs batched over the cloud
-    axis; cross-attention swaps the cloud axis for the memory side.
+    Operates on (2P, N, C) pair-major cloud batches (even index = ref/pos,
+    odd = src/anc of each pair).  Self-attention runs batched over all
+    clouds; cross-attention pairs even with odd clouds.
     """
 
     input_dim: int
@@ -154,8 +154,9 @@ class ThDRoFormer(nn.Module):
 
     @nn.compact
     def __call__(self, points, feats, masks, return_theta: bool = False):
-        """Args: points (2, N, 3), feats (2, N, C_in), masks (2, N)."""
-        theta = LinearPosEmbedding(self.hidden_dim)(points)  # (2, N, hidden/2)
+        """Args: points (2P, N, 3), feats (2P, N, C_in), masks (2P, N)."""
+        b = feats.shape[0]
+        theta = LinearPosEmbedding(self.hidden_dim)(points)  # (2P, N, hidden/2)
         x = nn.Dense(self.hidden_dim)(feats)
         for _ in range(self.num_layers):
             x = RPEAttentionLayer(self.hidden_dim, self.num_heads, self.topk_ratio)(
@@ -166,9 +167,9 @@ class ThDRoFormer(nn.Module):
             # cloud 1 attends to the *already updated* cloud 0)
             cross = CrossAttentionLayer(self.hidden_dim, self.num_heads)
             ffn = AttentionOutput(self.hidden_dim)
-            x0 = ffn(cross(x[0:1], x[1:2], masks[1:2]))
-            x1 = ffn(cross(x[1:2], x0, masks[0:1]))
-            x = jnp.concatenate([x0, x1], axis=0)
+            x0 = ffn(cross(x[0::2], x[1::2], masks[1::2]))
+            x1 = ffn(cross(x[1::2], x0, masks[0::2]))
+            x = jnp.stack([x0, x1], axis=1).reshape(x.shape)
         out = nn.Dense(self.output_dim)(x)
         if return_theta:
             return out, theta

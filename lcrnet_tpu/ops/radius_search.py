@@ -235,7 +235,7 @@ def radius_search_banded_batched(
     radius: float,
     limit: int,
     block_size: int = 2048,
-    window: int = 6144,
+    window: int = 4096,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded radius search: sort both sides by x, then each query block
     distance-checks only a contiguous window of x-sorted supports (every

@@ -51,6 +51,29 @@ def make_pair_forward(cfg: LCRNetConfig, with_global_head: bool = True):
     return forward
 
 
+def make_pairs_forward(cfg: LCRNetConfig, num_pairs: int, with_global_head: bool = True):
+    """Multi-pair eval forward: (params, points (P, 2, N, 3), masks (P, 2, N))
+    -> per-pair outputs with a leading P axis.  One program processes all
+    pairs (pair-major cloud batch); per-pair results are identical to the
+    single-pair path."""
+    model = LCRNet(cfg)
+
+    def forward(params, points, masks):
+        p, two, n, _ = points.shape
+        pyramid = build_batch_pyramid(points.reshape(p * two, n, 3), masks.reshape(p * two, n), cfg)
+        return model.apply(
+            params,
+            pyramid,
+            None,
+            training=False,
+            with_global_head=with_global_head,
+            with_fine_matching=True,
+            num_pairs=num_pairs,
+        )
+
+    return forward
+
+
 def make_describe(cfg: LCRNetConfig):
     """Jittable descriptor extraction: (params, points (B,N,3), masks) -> (B, 256)."""
     model = LCRNet(cfg)
