@@ -103,6 +103,29 @@ class EpochTrainer:
         self.logger.info(f"val epoch {self.epoch}: {board.format()}")
         return summary
 
+    def run_iterations(self, max_iterations: int, snapshot_every: int = 1000):
+        """Iteration-budget training (reference `utils/engine/
+        iter_based_trainer.py` twin): loop the train loader until the
+        iteration budget is exhausted."""
+        board = SummaryBoard(window=self.log_steps * 5)
+        while self.iteration < max_iterations:
+            for batch in self.train_loader():
+                if self.iteration >= max_iterations:
+                    break
+                self.rng, key = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, key)
+                jax.block_until_ready(metrics["loss"])
+                self.iteration += 1
+                board.update_from_dict(metrics)
+                if self.iteration % self.log_steps == 0:
+                    self.logger.info(f"iter {self.iteration}/{max_iterations}: {board.format()}")
+                if self.iteration % snapshot_every == 0:
+                    save_snapshot(
+                        self.snapshot_dir, self.iteration, self.state.params, self.state.opt_state
+                    )
+        save_snapshot(self.snapshot_dir, self.iteration, self.state.params, self.state.opt_state)
+        return self.state
+
     def run(self, max_epoch: Optional[int] = None):
         max_epoch = max_epoch or self.cfg.optim.max_epoch
         while self.epoch < max_epoch:

@@ -244,6 +244,17 @@ def nearest_upsample(s_feats, upsample_indices, upsample_masks):
     return batched_gather(s_feats, upsample_indices[..., 0], upsample_masks[..., 0])
 
 
+def knn_interpolate(s_feats, q_points, s_points, knn_indices, knn_masks, eps=1e-8):
+    """Inverse-squared-distance kNN interpolation (reference
+    `functional.py:26-55`).  knn_indices/masks: (B, N, k) support lookups."""
+    knn_pts = batched_gather(s_points, knn_indices, knn_masks, fill=1.0e6)
+    knn_f = batched_gather(s_feats, knn_indices, knn_masks)
+    d2 = jnp.sum((q_points[..., None, :] - knn_pts) ** 2, axis=-1)
+    w = knn_masks.astype(s_feats.dtype) / (d2 + eps)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + eps)
+    return jnp.sum(knn_f * w[..., None], axis=-2)
+
+
 class ResidualBlock(nn.Module):
     """Bottleneck residual KPConv block (reference `modules.py:154-225`)."""
 

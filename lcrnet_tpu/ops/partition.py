@@ -62,6 +62,50 @@ def point_to_node_partition(
     return point_to_node, node_occupied, knn_idx, knn_masks
 
 
+def ball_query_partition(
+    points: jnp.ndarray,
+    nodes: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    radius: float,
+    point_limit: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kNN capped by a radius (reference `pointcloud_partition.py:158-175`):
+    the up-to-`point_limit` nearest points within `radius` of each node.
+
+    Returns (indices (M, K) with sentinel N, masks (M, K), sizes (M,))."""
+    n = points.shape[0]
+    d2, idx, masks = knn_partition(points, nodes, point_mask, node_mask, point_limit)
+    masks = jnp.logical_and(masks, d2 < radius * radius)
+    idx = jnp.where(masks, idx, n)
+    return idx, masks, jnp.sum(masks.astype(jnp.int32), axis=1)
+
+
+def random_grouping(
+    points: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    num_groups: int,
+    group_size: int,
+    key,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random-sample grouping (capability parity with the vestigial CUDA
+    `cpp_wrappers/grouping/lib/src/grouping_gpu.cu`): pick `num_groups`
+    random valid seeds and `group_size` random valid members per group.
+
+    Returns (group_indices (G, S) int32, valid (G, S))."""
+    import jax
+
+    n = points.shape[0]
+    logits = jnp.where(point_mask, 0.0, -1.0e9)
+    k1, k2 = jax.random.split(key)
+    seeds = jax.random.categorical(k1, logits, shape=(num_groups,))
+    members = jax.random.categorical(k2, logits, shape=(num_groups, group_size - 1))
+    groups = jnp.concatenate([seeds[:, None], members], axis=1).astype(jnp.int32)
+    valid = point_mask[groups]
+    any_valid = jnp.any(point_mask)
+    return groups, jnp.logical_and(valid, any_valid)
+
+
 def knn_partition(
     points: jnp.ndarray,
     nodes: jnp.ndarray,
