@@ -213,7 +213,14 @@ class LCRNetConfig:
 
 
 def make_cfg(**overrides) -> LCRNetConfig:
-    """Build the canonical config (mirrors reference `make_cfg`)."""
+    """Build the canonical config (mirrors reference `make_cfg`).
+
+    Set LCRNET_PRESET=test in the environment to get the small-budget test
+    config instead (used by CLI smoke tests)."""
+    import os
+
+    if os.environ.get("LCRNET_PRESET") == "test" and not overrides:
+        return make_test_cfg()
     return LCRNetConfig(**overrides)
 
 

@@ -1,0 +1,118 @@
+"""End-to-end CLI smoke tests over a synthetic KITTI tree.
+
+Exercises the experiment scripts as subprocesses (the integration level the
+reference only covers via manual benchmark runs — SURVEY.md §4): scan files
+on disk -> test_registration dumps -> eval_registration metrics, and the
+demo path.
+"""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+
+def make_kitti_tree(tmp_path, rng, n_frames=4, n_points=400):
+    root = tmp_path / "kitti"
+    seq_dir = root / "downsampled_xyzi" / "08"
+    seq_dir.mkdir(parents=True)
+    base = np.zeros((n_points, 3), np.float32)
+    side = int(np.ceil(np.sqrt(n_points)))
+    xy = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1).reshape(-1, 2)[:n_points]
+    base[:, :2] = xy * 0.4
+    base[:, 2] = np.sin(base[:, 0] * 0.5)
+    scans = []
+    poses = []
+    for i in range(n_frames):
+        yaw = 0.1 * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t = np.array([2.0 * i, 0.5 * i, 0.0], np.float32)
+        pose = np.eye(4, dtype=np.float64)
+        pose[:3, :3] = r
+        pose[:3, 3] = t
+        poses.append(pose)
+        world = base @ r.T + t  # static world scene seen from moving sensor?
+        scan = (base + rng.normal(scale=0.005, size=base.shape)).astype(np.float32)
+        # scan i sees the world points expressed in its own frame
+        scan = ((base - t) @ r).astype(np.float32)
+        scans.append(scan)
+        np.save(seq_dir / f"{i:06d}.npy", scan)
+    # pair file: consecutive pairs with GT relative transforms
+    pair_lines = []
+    for i in range(n_frames - 1):
+        rel = np.linalg.inv(poses[i + 1]) @ poses[i]  # src=i -> ref=i+1
+        row = [i, i + 1] + list(rel[:3, :4].reshape(-1))
+        pair_lines.append(" ".join(str(v) for v in row))
+    pair_file = root / "pairs_08.txt"
+    pair_file.write_text("\n".join(pair_lines))
+    return root, pair_file
+
+
+def run_cli(args, env_extra=None):
+    env = dict(os.environ)
+    env["LCRNET_PRESET"] = "test"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ROOT
+    if env_extra:
+        env.update(env_extra)
+    return subprocess.run(
+        [sys.executable] + args, env=env, capture_output=True, text=True, timeout=1200, cwd=ROOT
+    )
+
+
+@pytest.mark.slow
+def test_registration_dump_and_eval(tmp_path, rng):
+    root, pair_file = make_kitti_tree(tmp_path, rng)
+    feature_dir = tmp_path / "features"
+    r = run_cli(
+        [
+            "experiments/test_registration.py",
+            "--dataset_root", str(root),
+            "--seq", "8",
+            "--pair_file", str(pair_file),
+            "--feature_dir", str(feature_dir),
+            "--limit", "2",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    dumps = list(feature_dir.glob("*.npz"))
+    assert len(dumps) == 2
+    d = np.load(dumps[0])
+    assert d["estimated_transform"].shape == (4, 4)
+
+    r2 = run_cli(
+        ["experiments/eval_registration.py", "--feature_dir", str(feature_dir), "--method", "lgr"]
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "RR:" in r2.stdout and "PIR:" in r2.stdout
+
+    r3 = run_cli(
+        ["experiments/eval_registration.py", "--feature_dir", str(feature_dir), "--method", "svd"]
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+
+
+@pytest.mark.slow
+def test_loop_detection_cli(tmp_path, rng):
+    root, _ = make_kitti_tree(tmp_path, rng, n_frames=4)
+    desc_dir = tmp_path / "desc"
+    r = run_cli(
+        [
+            "experiments/test_loop_detection.py",
+            "--dataset_root", str(root),
+            "--seq", "8",
+            "--descriptor_dir", str(desc_dir),
+            "--batch", "2",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    d = np.load(desc_dir / "seq08_descriptors.npz")
+    assert d["descriptors"].shape[1] == 256
+    norms = np.linalg.norm(d["descriptors"], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
