@@ -21,7 +21,14 @@ from lcrnet_tpu.ops.transform import (
 )
 from lcrnet_tpu.ops.masked import masked_max, masked_mean, masked_min, masked_softmax, masked_top_k
 from lcrnet_tpu.ops.grid_subsample import grid_subsample
-from lcrnet_tpu.ops.radius_search import radius_search
+from lcrnet_tpu.ops.radius_search import (
+    knn_search,
+    nearest_search_batched,
+    radius_search,
+    radius_search_banded_batched,
+    radius_search_batched,
+    radius_search_cells_batched,
+)
 from lcrnet_tpu.ops.partition import knn_partition, point_to_node_partition
 from lcrnet_tpu.ops.nms import greedy_radius_nms
 from lcrnet_tpu.ops.sinkhorn import log_optimal_transport
@@ -49,6 +56,11 @@ __all__ = [
     "masked_top_k",
     "grid_subsample",
     "radius_search",
+    "radius_search_batched",
+    "radius_search_banded_batched",
+    "radius_search_cells_batched",
+    "nearest_search_batched",
+    "knn_search",
     "knn_partition",
     "point_to_node_partition",
     "greedy_radius_nms",
