@@ -144,4 +144,27 @@ def evaluate_loop_detection(
         "AUC": auc,
         "Recall@1": r1,
         "Recall@1pct": rpct,
+        # raw curves/artifacts (reference dumps predicted_des_L2_dis.npz +
+        # PRC.png; matplotlib-free here — arrays for downstream plotting)
+        "precisions": precisions,
+        "recalls": recalls,
+        "top1_distances": top1_dist,
+        "top1_indices": top1_idx,
     }
+
+
+def save_retrieval_artifacts(path: str, results: Dict):
+    """Persist the PR sweep + top-1 tables (reference
+    `eval_loop_detection_overlap_dataset.py:255-259` npz dump parity)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        precisions=results.get("precisions", np.zeros(0)),
+        recalls=results.get("recalls", np.zeros(0)),
+        top1_distances=results.get("top1_distances", np.zeros(0)),
+        top1_indices=results.get("top1_indices", np.zeros(0)),
+        F1max=results["F1max"],
+        AUC=results["AUC"],
+    )

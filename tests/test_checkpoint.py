@@ -1,0 +1,51 @@
+"""Checkpoint save/load/merge roundtrip and trainer resume."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lcrnet_tpu.config import make_test_cfg
+from lcrnet_tpu.engine.checkpoint import latest_step, load_snapshot, merge_netvlad, save_snapshot
+from lcrnet_tpu.pipeline import init_params
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(make_test_cfg())
+
+
+def test_snapshot_roundtrip(tmp_path, params):
+    d = str(tmp_path / "snaps")
+    save_snapshot(d, 3, params)
+    assert latest_step(d) == 3
+    loaded = load_snapshot(d, template={"params": params})
+    a = jax.tree_util.tree_leaves(params)
+    b = jax.tree_util.tree_leaves(loaded["params"])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_snapshot_latest_selection(tmp_path, params):
+    d = str(tmp_path / "snaps2")
+    save_snapshot(d, 1, params)
+    bumped = jax.tree.map(lambda x: x + 1.0, params)
+    save_snapshot(d, 2, bumped)
+    loaded = load_snapshot(d, template={"params": params})
+    x0 = jax.tree_util.tree_leaves(params)[0]
+    y0 = jax.tree_util.tree_leaves(loaded["params"])[0]
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(x0) + 1.0)
+
+
+def test_merge_netvlad(params):
+    other = jax.tree.map(lambda x: x * 0.0 + 7.0, params)
+    merged = merge_netvlad(params, other)
+    # netvlad subtree comes from `other`
+    nv = jax.tree_util.tree_leaves(merged["params"]["netvlad"])
+    assert all(float(np.asarray(x).ravel()[0]) == 7.0 for x in nv)
+    # everything else untouched
+    enc_a = jax.tree_util.tree_leaves(params["params"]["encoder"])
+    enc_m = jax.tree_util.tree_leaves(merged["params"]["encoder"])
+    for x, y in zip(enc_a, enc_m):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -66,8 +66,9 @@ def test_train_step_sharded_matches_unsharded(rng):
     cfg = make_test_cfg()
     params = init_params(cfg)
     mesh = make_mesh(dp=4, mp=2)
-    state_a = create_train_state(cfg, params, 10)
-    state_b = create_train_state(cfg, params, 10)
+    # the train step donates its state; the two states must not alias buffers
+    state_a = create_train_state(cfg, jax.tree.map(jnp.copy, params), 10)
+    state_b = create_train_state(cfg, jax.tree.map(jnp.copy, params), 10)
     step_plain = make_train_step(cfg)
     step_shard = make_train_step(cfg, mesh=mesh)
     batch = _batch(cfg, 4, rng)
