@@ -97,6 +97,38 @@ def coarse_matching_ot(
     return NodeCorrResult(ref_idx, src_idx, vals, valid)
 
 
+def coarse_matching_dual_norm(
+    ref_feats: jnp.ndarray,
+    src_feats: jnp.ndarray,
+    ref_masks: jnp.ndarray,
+    src_masks: jnp.ndarray,
+    num_correspondences: int,
+    dual_normalization: bool = True,
+) -> NodeCorrResult:
+    """Legacy feature-distance coarse matching (reference
+    `superpoint_matching.py:7-50` SuperPointMatching): exp(-d2) scores over
+    normalized features, optional dual (row+column) normalization, global
+    top-k.  Kept for capability parity; the shipped pipeline uses the OT
+    variant."""
+    from lcrnet_tpu.ops.pairwise_distance import pairwise_distance
+
+    m, n = ref_feats.shape[0], src_feats.shape[0]
+    scores = jnp.exp(-pairwise_distance(ref_feats, src_feats, normalized=True))
+    valid = jnp.logical_and(ref_masks[:, None], src_masks[None, :])
+    scores = jnp.where(valid, scores, 0.0)
+    if dual_normalization:
+        ref_norm = scores / jnp.maximum(jnp.sum(scores, axis=1, keepdims=True), 1e-12)
+        src_norm = scores / jnp.maximum(jnp.sum(scores, axis=0, keepdims=True), 1e-12)
+        scores = ref_norm * src_norm
+    vals, flat_idx, ok = masked_top_k(scores.reshape(-1), valid.reshape(-1), num_correspondences)
+    return NodeCorrResult(
+        (flat_idx // n).astype(jnp.int32),
+        (flat_idx % n).astype(jnp.int32),
+        vals,
+        jnp.logical_and(ok, vals > 0.0),
+    )
+
+
 class FineMatchResult(NamedTuple):
     ref_corr_points: jnp.ndarray  # (C_glob, 3)
     src_corr_points: jnp.ndarray  # (C_glob, 3)
