@@ -34,13 +34,19 @@ from lcrnet_tpu.ops.radius_search import (
 )
 
 # supports above this size use the banded search (x-sorted contiguous
-# windows); below it the dense sweep wins on fixed overheads.  The cell-list
-# variant exists too but its scattered gathers lose badly on TPU.
+# windows); below it the dense sweep wins on fixed overheads.  On TPU the
+# banded selection runs as the fused Pallas kernel (whole argmin-extraction
+# loop VMEM-resident).  The cell-list variant exists too but its scattered
+# gathers lose badly on TPU.
 _BANDED_SEARCH_MIN_SUPPORT = 4096
 
 
 def _search(q, s, qm, sm, radius, limit):
-    if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT:
+    if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT and s.shape[1] % 128 == 0:
+        if jax.default_backend() == "tpu" and limit <= 48:
+            from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
+
+            return radius_search_banded_pallas(q, s, qm, sm, radius, limit)
         from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
 
         return radius_search_banded_batched(q, s, qm, sm, radius, limit)
