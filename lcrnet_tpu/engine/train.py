@@ -124,6 +124,28 @@ def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):
     )
 
 
+def make_eval_step(cfg: LCRNetConfig):
+    """Jitted validation step: PairBatch -> mean PIR/IR/RRE/RTE/RR
+    (reference `epoch_based_trainer.py:230-233` inference_epoch)."""
+    from lcrnet_tpu.models.losses import evaluate_pair
+
+    model = LCRNet(cfg)
+
+    def pair_metrics(params, points, masks, transform):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        out = model.apply(params, pyramid, transform, training=False)
+        return evaluate_pair(out, transform, cfg)
+
+    @jax.jit
+    def step(params, batch: PairBatch):
+        metrics = jax.vmap(pair_metrics, in_axes=(None, 0, 0, 0))(
+            params, batch.points, batch.masks, batch.transform
+        )
+        return jax.tree.map(jnp.mean, metrics)
+
+    return step
+
+
 def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
                                mesh: Optional[Mesh] = None):
     """Loop-detection (retrieval) train step: anchor/positive/negative tuples

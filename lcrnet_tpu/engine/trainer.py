@@ -49,6 +49,10 @@ class EpochTrainer:
         self.val_every = val_every
         self.logger = make_logger(osp.join(output_dir, "logs", "train.log"))
         self.step_fn = make_train_step(cfg, mesh=mesh)
+        if eval_step is None and val_loader is not None:
+            from lcrnet_tpu.engine.train import make_eval_step
+
+            eval_step = make_eval_step(cfg)
         self.eval_step = eval_step
         params = init_params(cfg, seed=cfg.seed)
         self.state = create_train_state(cfg, params, steps_per_epoch)
