@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--anc", type=int, default=958)
     ap.add_argument("--pos", type=int, default=3854)
     ap.add_argument("--snapshot", default=None, help="orbax snapshot dir")
+    ap.add_argument("--dump_scene", default=None,
+                    help="write the correspondence scene as a PLY (the headless"
+                         " stand-in for the reference demo's --vis)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -54,6 +57,21 @@ def main():
     print(f"descriptor L2 distance: {dist:.6f}")
     print("estimated transform (src -> ref):")
     print(np.array2string(np.asarray(out["estimated_transform"]), precision=6, suppress_small=False))
+
+    if args.dump_scene:
+        from lcrnet_tpu.utils.visualization import correspondence_scene, write_ply
+
+        mr = np.asarray(out["masks_f"][0])
+        ms = np.asarray(out["masks_f"][1])
+        cv = np.asarray(out["corr_valid"])
+        pts, cols, edges, _ = correspondence_scene(
+            np.asarray(out["points_f"][0])[mr],
+            np.asarray(out["points_f"][1])[ms],
+            np.asarray(out["ref_corr_points"])[cv],
+            np.asarray(out["src_corr_points"])[cv],
+        )
+        write_ply(args.dump_scene, pts, cols, edges)
+        print(f"scene written to {args.dump_scene}")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ import numpy as np
 
 from lcrnet_tpu.config import LCRNetConfig
 from lcrnet_tpu.engine.checkpoint import latest_step, load_snapshot, save_snapshot
+from lcrnet_tpu.engine.events import EventWriter
 from lcrnet_tpu.engine.logger import make_logger
 from lcrnet_tpu.engine.meters import SummaryBoard, Timer
 from lcrnet_tpu.engine.train import PairBatch, TrainState, create_train_state, make_train_step
@@ -48,6 +49,7 @@ class EpochTrainer:
         self.val_after = val_after
         self.val_every = val_every
         self.logger = make_logger(osp.join(output_dir, "logs", "train.log"))
+        self.events = EventWriter(osp.join(output_dir, "events"))
         self.step_fn = make_train_step(cfg, mesh=mesh)
         if eval_step is None and val_loader is not None:
             from lcrnet_tpu.engine.train import make_eval_step
@@ -93,6 +95,7 @@ class EpochTrainer:
                     f"epoch {self.epoch} it {i + 1}: {board.format()} "
                     f"(prep {timer.mean_prepare * 1e3:.1f} ms, step {timer.mean_process * 1e3:.1f} ms)"
                 )
+                self.events.add_scalars(board.summary(), self.iteration, prefix="train/")
             timer.tic()
         return board.summary()
 
@@ -105,6 +108,7 @@ class EpochTrainer:
             board.update_from_dict(jax.tree.map(np.asarray, metrics))
         summary = board.summary()
         self.logger.info(f"val epoch {self.epoch}: {board.format()}")
+        self.events.add_scalars(summary, self.iteration, prefix="val/")
         return summary
 
     def run_iterations(self, max_iterations: int, snapshot_every: int = 1000):
