@@ -33,6 +33,7 @@ import flax.linen as nn
 
 from lcrnet_tpu.config import LCRNetConfig
 from lcrnet_tpu.models.backbone import KPDecoder, KPEncoder, VoteEncoder
+from lcrnet_tpu.models.kpconv import batched_gather
 from lcrnet_tpu.models.matching import coarse_matching_ot, fine_matching_lgr
 from lcrnet_tpu.models.netvlad import NetVLAD
 from lcrnet_tpu.models.roformer import ThDRoFormer
@@ -177,8 +178,6 @@ class LCRNet(nn.Module):
             )
         )(points_f, vote.nodes, masks_f, vote.node_masks)
         node_occupied = jnp.logical_and(occupied, vote.node_masks)
-        from lcrnet_tpu.models.kpconv import batched_gather
-
         knn_points = batched_gather(points_f, knn_idx, knn_masks, fill=1.0e6)
 
         # split the pair-major cloud axis: ref side 0::2, src side 1::2

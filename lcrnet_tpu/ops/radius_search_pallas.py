@@ -23,8 +23,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lcrnet_tpu.ops.pairwise_distance import pairwise_distance
-
 _BIG = 1.0e12
 
 
