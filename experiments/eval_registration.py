@@ -3,9 +3,10 @@
 
 Parity target: `experiments/registration/eval.py:25-314`: coarse PIR, fine
 IR/FMR, pose errors (RRE/RTE + per-axis RPY), RR = (RRE < 5 deg, RTE < 2 m).
-Pose methods: `lgr` (stored estimate) or `svd` (weighted Procrustes refit on
-the dumped correspondences).  RANSAC (open3d) is not bundled in this
-environment; `svd` covers the estimator-swap use case.
+Pose methods: `lgr` (stored estimate), `svd` (weighted Procrustes refit on
+the dumped correspondences), or `ransac` (native batched correspondence
+RANSAC, `lcrnet_tpu/ops/ransac.py` — same defaults as the reference's
+open3d path, `config_reg.py:69-73`).
 """
 
 import argparse
@@ -21,9 +22,12 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--feature_dir", required=True)
-    ap.add_argument("--method", choices=["lgr", "svd"], default="lgr")
+    ap.add_argument("--method", choices=["lgr", "svd", "ransac"], default="lgr")
     ap.add_argument("--ir_radius", type=float, default=0.6)
     ap.add_argument("--ir_threshold", type=float, default=0.05)
+    ap.add_argument("--ransac_threshold", type=float, default=0.3)
+    ap.add_argument("--ransac_n", type=int, default=4)
+    ap.add_argument("--ransac_iterations", type=int, default=50000)
     args = ap.parse_args()
 
     from lcrnet_tpu.engine.meters import SummaryBoard
@@ -60,6 +64,26 @@ def main():
 
         if args.method == "lgr":
             est = d["estimated_transform"]
+        elif args.method == "ransac":
+            import jax
+            import jax.numpy as jnp
+
+            from lcrnet_tpu.ops.ransac import correspondence_ransac
+
+            # fixed-capacity call so every pair reuses one compiled program
+            ref_all = d["ref_corr_points"]
+            src_all = d["src_corr_points"]
+            est = np.asarray(
+                correspondence_ransac(
+                    jnp.asarray(src_all),
+                    jnp.asarray(ref_all),
+                    jnp.asarray(d["corr_valid"].astype(bool)),
+                    jax.random.PRNGKey(abs(hash(osp.basename(f))) % (2**31)),
+                    distance_threshold=args.ransac_threshold,
+                    num_samples=args.ransac_n,
+                    num_iterations=args.ransac_iterations,
+                )
+            )
         else:
             import jax.numpy as jnp
 

@@ -21,11 +21,18 @@ import numpy as np
 
 def load_overlap_gt(path: str, n: int):
     """Per-anchor positive lists from the reference-format overlap npz
-    (fields of anchor idx -> positive idx arrays) or a simple 2-column pair
-    file; returns list of lists."""
+    (`loop_gt_seq00_0.3overlap_inactive.npz`: one object array, entry i =
+    positive frame indices of anchor i), an {anc_idx, pos_idx} npz, or a
+    simple 2-column pair file; returns list of lists."""
     gt = [[] for _ in range(n)]
     if path.endswith(".npz"):
         d = np.load(path, allow_pickle=True)
+        # reference format: single object array of per-anchor positive lists
+        if len(d.files) >= 1 and d[d.files[0]].dtype == object:
+            arr = d[d.files[0]]
+            for a in range(min(len(arr), n)):
+                gt[a] = list(np.atleast_1d(arr[a]).astype(int)) if len(np.atleast_1d(arr[a])) else []
+            return gt
         # accept either {anc_idx, pos_idx-lists} or row-per-loop arrays
         if "anc_idx" in d and "pos_idx" in d:
             for a, p in zip(d["anc_idx"], d["pos_idx"]):

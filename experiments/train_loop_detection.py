@@ -62,8 +62,12 @@ def main():
     tuples = list(zip(d["anc_idx"], d["pos_idx"], d["neg_idx"]))
     source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
 
-    state = create_train_state(cfg, params, steps_per_epoch=len(tuples))
-    step = make_descriptor_train_step(cfg, args.num_pos, args.num_neg)
+    frozen = args.train_mode == "frozen"
+    state = create_train_state(
+        cfg, params, steps_per_epoch=len(tuples),
+        trainable_subtrees=("netvlad",) if frozen else None,
+    )
+    step = make_descriptor_train_step(cfg, args.num_pos, args.num_neg, frozen=frozen)
     cap = cfg.shapes.points[0]
     group = 1 + args.num_pos + args.num_neg
 

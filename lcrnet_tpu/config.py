@@ -35,7 +35,10 @@ class ShapeBudget:
     neighbor_limits: Tuple[int, ...] = (40, 40, 40, 40)
     # width of the subsampling (coarse<-fine) pooling tables per transition
     max_nodes: int = 256           # node budget after NMS (per cloud)
-    node_corr_limit: int = 256     # max coarse (node) correspondences
+    # max coarse (node) correspondences; the dustbin-mode union of row/col
+    # argmax winners holds at most M+N entries, so 2*max_nodes covers the
+    # worst case exactly (reference keeps all, `superpoint_matching.py:146-151`)
+    node_corr_limit: int = 512
     corr_limit: int = 2048         # max global dense correspondences for LGR
     vote_neighbor_limit: int = 40  # runtime radius search around voted nodes
 
@@ -231,7 +234,7 @@ def make_test_cfg() -> LCRNetConfig:
             points=(512, 256, 128, 64),
             neighbor_limits=(16, 16, 16, 16),
             max_nodes=32,
-            node_corr_limit=32,
+            node_corr_limit=64,
             corr_limit=256,
             vote_neighbor_limit=16,
         ),

@@ -171,3 +171,15 @@ def generate_overlap_loop_gt(
             if scan_overlap(get(int(j)), get(i), t) > overlap_threshold:
                 gt[i].append(int(j))
     return gt
+
+
+def write_overlap_gt(path: str, gt: List[List[int]]) -> None:
+    """Write retrieval GT in the reference's on-disk format
+    (`loop_gt_seq00_0.3overlap_inactive.npz`: one unnamed object array of
+    length n_frames, entry i = float array of positive frame indices).
+    Round-trips through `experiments/test_loop_detection.py::load_overlap_gt`.
+    """
+    arr = np.empty(len(gt), dtype=object)
+    for i, positives in enumerate(gt):
+        arr[i] = np.asarray(positives, dtype=np.float64)
+    np.savez(path, arr)

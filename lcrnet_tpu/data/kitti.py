@@ -121,8 +121,9 @@ def yaw_rotation(angle: float) -> np.ndarray:
 
 @dataclass
 class AugmentConfig:
-    """Yaw-only augmentation (reference `datasets/loop_closure/kitti/
-    dataset.py:114-143` + `config_reg.py:42-47`)."""
+    """Pair augmentation knobs (reference `datasets/loop_closure/kitti/
+    dataset.py:114-143` + `config_reg.py:42-47`): yaw rotation, uniform
+    noise, uniform scale, per-cloud shift."""
 
     rotation: float = 1.0       # fraction of 2*pi
     noise: float = 0.01
@@ -138,21 +139,44 @@ def augment_pair(
     rng: np.random.Generator,
     cfg: AugmentConfig,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Augment a pair: yaw-rotate one side (updating the GT transform),
-    jitter both with gaussian noise."""
+    """Augment a pair with the reference recipe
+    (`datasets/loop_closure/kitti/dataset.py:114-143` _augment_point_cloud):
+    uniform jitter on both clouds, yaw-rotate one side (coin flip, updating
+    the GT transform), uniform scale on both clouds + translation, then an
+    independent uniform shift per cloud folded into the translation."""
+    # uniform noise (reference uses (rand - 0.5) * noise, NOT gaussian)
+    ref_points = ref_points + (rng.random(ref_points.shape) - 0.5).astype(np.float32) * cfg.noise
+    src_points = src_points + (rng.random(src_points.shape) - 0.5).astype(np.float32) * cfg.noise
+
+    # yaw rotation of one side
     aug_rot = yaw_rotation(rng.uniform(0, 2 * np.pi * cfg.rotation))
-    t = transform.copy()
+    rot = transform[:3, :3].copy()
+    trans = transform[:3, 3].copy()
     if rng.uniform() > 0.5:
         ref_points = ref_points @ aug_rot.T
-        r, tr = t[:3, :3], t[:3, 3]
-        t[:3, :3] = aug_rot @ r
-        t[:3, 3] = aug_rot @ tr
+        rot = aug_rot @ rot
+        trans = aug_rot @ trans
     else:
         src_points = src_points @ aug_rot.T
-        t[:3, :3] = t[:3, :3] @ aug_rot.T
-    ref_points = ref_points + rng.normal(scale=cfg.noise, size=ref_points.shape).astype(np.float32)
-    src_points = src_points + rng.normal(scale=cfg.noise, size=src_points.shape).astype(np.float32)
-    return ref_points.astype(np.float32), src_points.astype(np.float32), t.astype(np.float32)
+        rot = rot @ aug_rot.T
+
+    # uniform scale on both clouds; the translation scales with the geometry
+    scale = rng.uniform(cfg.min_scale, cfg.max_scale)
+    ref_points = ref_points * scale
+    src_points = src_points * scale
+    trans = trans * scale
+
+    # independent shift per cloud: ref' = R @ (src' - src_shift) + t + ref_shift
+    ref_shift = rng.uniform(-cfg.shift, cfg.shift, 3).astype(np.float32)
+    src_shift = rng.uniform(-cfg.shift, cfg.shift, 3).astype(np.float32)
+    ref_points = ref_points + ref_shift
+    src_points = src_points + src_shift
+    trans = -(rot @ src_shift) + trans + ref_shift
+
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = rot
+    t[:3, 3] = trans
+    return ref_points.astype(np.float32), src_points.astype(np.float32), t
 
 
 def pad_points(points: np.ndarray, capacity: int, point_limit: Optional[int] = None,

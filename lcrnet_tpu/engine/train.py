@@ -62,9 +62,25 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def create_train_state(cfg: LCRNetConfig, params, steps_per_epoch: int = 1) -> TrainState:
+def create_train_state(
+    cfg: LCRNetConfig,
+    params,
+    steps_per_epoch: int = 1,
+    trainable_subtrees: Optional[Tuple[str, ...]] = None,
+) -> TrainState:
+    """Build the optimizer state.
+
+    trainable_subtrees: if given, only the named top-level parameter subtrees
+    receive updates — all others are hard-frozen (zeroed updates, so weight
+    decay cannot drift them).  Used by the loop-detection frozen mode
+    (reference offline/half training, `LCRNet_GlobalDescrition.py:25-110`,
+    which only optimizes the NetVLAD head)."""
     model = LCRNet(cfg)
     tx = make_optimizer(cfg, steps_per_epoch)
+    if trainable_subtrees is not None:
+        keep = set(trainable_subtrees)
+        freeze_mask = {"params": {k: k not in keep for k in params["params"]}}
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask))
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
@@ -147,10 +163,14 @@ def make_eval_step(cfg: LCRNetConfig):
 
 
 def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
-                               mesh: Optional[Mesh] = None):
+                               mesh: Optional[Mesh] = None, frozen: bool = False):
     """Loop-detection (retrieval) train step: anchor/positive/negative tuples
     through the descriptor path + lazy triplet loss (reference
     `LCRNet_GlobalDescrition.py:25-110` online mode + `loss_ld.py:29-58`).
+
+    frozen=True stops gradients at the encoder (the reference's offline/half
+    modes); pair it with `create_train_state(..., trainable_subtrees=("netvlad",))`
+    so the frozen parameters cannot drift under weight decay.
 
     Batch layout: points (B, 1+num_pos+num_neg, N0, 3), masks likewise.
     """
@@ -163,7 +183,7 @@ def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
         flat_p = points.reshape((-1,) + points.shape[2:])
         flat_m = masks.reshape((-1,) + masks.shape[2:])
         pyramid = build_batch_pyramid(flat_p, flat_m, cfg)
-        desc = model.apply(params, pyramid, method=LCRNet.describe)
+        desc = model.apply(params, pyramid, frozen, method=LCRNet.describe)
         desc = desc.reshape(points.shape[0], group, -1)
         anc = desc[:, :1]
         pos = desc[:, 1 : 1 + num_pos]

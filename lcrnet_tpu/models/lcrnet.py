@@ -93,13 +93,21 @@ class LCRNet(nn.Module):
         self.point_ot_alpha = self.param("point_ot_alpha", nn.initializers.ones, ())
 
     # ------------------------------------------------------------------
-    def describe(self, pyramid: Pyramid) -> jnp.ndarray:
+    def describe(self, pyramid: Pyramid, frozen: bool = False) -> jnp.ndarray:
         """Retrieval path: (B, N, ...) pyramid -> (B, 256) global descriptors
         (reference `LCRNet_GlobalDescrition.py:66-74`).  Per-cloud norm
-        statistics — batchmates do not couple."""
+        statistics — batchmates do not couple.
+
+        frozen=True stops gradients at the encoder output — the TPU
+        equivalent of the reference's offline/half training modes
+        (`LCRNet_GlobalDescrition.py:25-110`, cached encoder features): only
+        the NetVLAD head trains, and the backward pass skips the backbone."""
         feats = pyramid.masks[0][..., None].astype(jnp.float32)
         feats_list = self.encoder(feats, pyramid, norm_clouds=1)
-        feats_c = l2_normalize(feats_list[3], axis=-1)
+        enc_out = feats_list[3]
+        if frozen:
+            enc_out = jax.lax.stop_gradient(enc_out)
+        feats_c = l2_normalize(enc_out, axis=-1)
         desc = self.netvlad(feats_c, pyramid.masks[3])
         return l2_normalize(desc, axis=-1)
 
@@ -295,6 +303,7 @@ class LCRNet(nn.Module):
                     nv,
                     acceptance_radius=c.fine_matching.acceptance_radius,
                     corr_limit=c.shapes.corr_limit,
+                    topk=c.fine_matching.topk,
                     mutual=c.fine_matching.mutual,
                     use_dustbin=c.fine_matching.use_dustbin,
                     confidence_threshold=c.fine_matching.confidence_threshold,

@@ -244,8 +244,9 @@ def evaluate_pair(output: Dict, transform: jnp.ndarray, cfg: LCRNetConfig) -> Di
     result = {}
     # PIR: fraction of predicted node correspondences that are GT
     gt = output["gt_node_corr"]
-    m = output["node_masks"].shape[1]
-    n = m
+    # node_masks is pair-major (2, max_nodes): row 0 = ref side, row 1 = src
+    m = output["node_masks"][0].shape[0]
+    n = output["node_masks"][1].shape[0]
     accept = gt.overlaps > cfg.eval.acceptance_overlap
     gt_map = jnp.zeros((m, n), jnp.float32).at[gt.ref_indices, gt.src_indices].max(
         jnp.logical_and(gt.valid, accept).astype(jnp.float32), mode="drop"

@@ -146,6 +146,7 @@ def fine_matching_lgr(
     patch_valid: jnp.ndarray,
     acceptance_radius: float,
     corr_limit: int,
+    topk: int = 1,
     mutual: bool = False,
     use_dustbin: bool = True,
     confidence_threshold: float = 0.0,
@@ -161,6 +162,8 @@ def fine_matching_lgr(
       matching_scores: (P, K+1, K+1) log OT scores (if use_dustbin) else (P, K, K).
       patch_valid: (P,) node-correspondence validity.
       corr_limit: static global correspondence budget.
+      topk: per-row/per-column candidate count (reference
+        `local_global_registration.py:49-91` self.k; shipped config uses 1).
     """
     p, k = ref_knn_masks.shape
     scores = jnp.exp(matching_scores)
@@ -177,42 +180,56 @@ def fine_matching_lgr(
     mask_mat = jnp.logical_and(ref_knn_masks[:, :, None], src_knn_masks[:, None, :])
     inner_masked = jnp.where(mask_mat, inner, 0.0)
 
-    # row-side candidates: (p, i) -> best j   (k=1 in the shipped config)
-    row_best = jnp.argmax(inner_masked, axis=2)          # (P, K)
-    row_val = jnp.max(inner_masked, axis=2)
-    row_ok = row_val > row_dust
-    # col-side candidates: (p, j) -> best i
-    col_best = jnp.argmax(inner_masked, axis=1)          # (P, K)
-    col_val = jnp.max(inner_masked, axis=1)
-    col_ok = col_val > col_dust
+    # row-side candidates: (p, i) -> topk j's beating the row dustbin
+    row_val, row_best = lax.top_k(inner_masked, topk)            # (P, K, k)
+    row_ok = row_val > row_dust[:, :, None]
+    # col-side candidates: (p, j) -> topk i's beating the col dustbin
+    col_val, col_best = lax.top_k(jnp.swapaxes(inner_masked, 1, 2), topk)  # (P, K, k)
+    col_ok = col_val > col_dust[:, :, None]
 
     if mutual:
-        # (i, best_j) kept iff also col-best of that j
-        j_of_i = row_best
-        mutual_row = jnp.take_along_axis(col_best, j_of_i, axis=1) == jnp.arange(k)[None, :]
-        row_ok = jnp.logical_and(row_ok, jnp.take_along_axis(col_ok, j_of_i, axis=1))
-        row_ok = jnp.logical_and(row_ok, mutual_row)
+        # reference mutual mode: (i, j) kept iff selected from BOTH sides —
+        # row candidate (i, j) also appears among j's column top-k winners
+        j_of_i = row_best                                         # (P, K, k)
+        # col_best gathered at j: (P, K, k, k') = i-candidates of column j
+        col_best_at_j = jnp.take_along_axis(
+            col_best[:, :, None, :], j_of_i[:, :, :, None], axis=1
+        )
+        col_ok_at_j = jnp.take_along_axis(
+            col_ok[:, :, None, :], j_of_i[:, :, :, None], axis=1
+        )
+        i_ids = jnp.arange(k)[None, :, None, None]
+        in_col = jnp.any(jnp.logical_and(col_best_at_j == i_ids, col_ok_at_j), axis=-1)
+        row_ok = jnp.logical_and(row_ok, in_col)
         col_ok = jnp.zeros_like(col_ok)
     else:
-        # duplicate suppression: col candidate (i*, j) already emitted by row
-        # side iff row i*'s argmax is j and that row candidate is kept
-        i_of_j = col_best
-        dup = jnp.take_along_axis(row_best, i_of_j, axis=1) == jnp.arange(k)[None, :]
-        dup = jnp.logical_and(dup, jnp.take_along_axis(row_ok, i_of_j, axis=1))
+        # duplicate suppression: col candidate (i*, j) is already emitted by
+        # the row side iff j appears among row i*'s kept top-k winners
+        i_of_j = col_best                                         # (P, K, k)
+        row_best_at_i = jnp.take_along_axis(
+            row_best[:, :, None, :], i_of_j[:, :, :, None], axis=1
+        )                                                         # (P, K, k, k')
+        row_ok_at_i = jnp.take_along_axis(
+            row_ok[:, :, None, :], i_of_j[:, :, :, None], axis=1
+        )
+        j_ids = jnp.arange(k)[None, :, None, None]
+        dup = jnp.any(jnp.logical_and(row_best_at_i == j_ids, row_ok_at_i), axis=-1)
         col_ok = jnp.logical_and(col_ok, jnp.logical_not(dup))
 
-    row_ok = jnp.logical_and(row_ok, patch_valid[:, None])
-    col_ok = jnp.logical_and(col_ok, patch_valid[:, None])
-    row_ok = jnp.logical_and(row_ok, ref_knn_masks)
-    col_ok = jnp.logical_and(col_ok, src_knn_masks)
+    row_ok = jnp.logical_and(row_ok, patch_valid[:, None, None])
+    col_ok = jnp.logical_and(col_ok, patch_valid[:, None, None])
+    row_ok = jnp.logical_and(row_ok, ref_knn_masks[:, :, None])
+    col_ok = jnp.logical_and(col_ok, src_knn_masks[:, :, None])
     row_ok = jnp.logical_and(row_ok, row_val > 0.0)
     col_ok = jnp.logical_and(col_ok, col_val > 0.0)
 
-    # assemble (P, 2K) candidates
-    cand_ref_idx = jnp.concatenate([jnp.broadcast_to(jnp.arange(k)[None, :], (p, k)), col_best], axis=1)
-    cand_src_idx = jnp.concatenate([row_best, jnp.broadcast_to(jnp.arange(k)[None, :], (p, k))], axis=1)
-    cand_scores = jnp.concatenate([row_val, col_val], axis=1)
-    cand_valid = jnp.concatenate([row_ok, col_ok], axis=1)
+    # assemble (P, 2*K*topk) candidates
+    kk = k * topk
+    ids = jnp.broadcast_to(jnp.arange(k)[None, :, None], (p, k, topk)).reshape(p, kk)
+    cand_ref_idx = jnp.concatenate([ids, col_best.reshape(p, kk)], axis=1)
+    cand_src_idx = jnp.concatenate([row_best.reshape(p, kk), ids], axis=1)
+    cand_scores = jnp.concatenate([row_val.reshape(p, kk), col_val.reshape(p, kk)], axis=1)
+    cand_valid = jnp.concatenate([row_ok.reshape(p, kk), col_ok.reshape(p, kk)], axis=1)
     cand_scores = jnp.where(cand_valid, cand_scores, 0.0)
 
     cand_ref_pts = jnp.take_along_axis(ref_knn_points, cand_ref_idx[..., None], axis=1)

@@ -85,31 +85,33 @@ def evaluate_loop_detection(
     idx = np.asarray(idx)
 
     has_gt = np.array([len(gt_positives[i]) > 0 for i in range(n)])
-    queries = [i for i in range(start_frame, n) if dists[i, 0] < _BIG / 2]
+    queries = np.array(
+        [i for i in range(start_frame, n) if dists[i, 0] < _BIG / 2], dtype=np.int64
+    )
 
     # threshold sweep on top-1 distance (reference `compute_PR_overlap`:66-121)
-    precisions, recalls = [], []
+    # — vectorized: (T, Q) prediction matrix instead of the reference's
+    # per-frame faiss rebuild + per-threshold Python loop
     top1_dist = dists[:, 0]
     top1_idx = idx[:, 0]
     top1_correct = np.array(
         [top1_idx[i] in set(gt_positives[i]) for i in range(n)]
     )
-    for thr in np.arange(0.0, 1.01, 0.01):
-        tp = fp = fn_ = 0
-        for i in queries:
-            pred_pos = top1_dist[i] < thr
-            if pred_pos:
-                if top1_correct[i]:
-                    tp += 1
-                else:
-                    fp += 1
-            elif has_gt[i]:
-                fn_ += 1
-        if tp + fp > 0 and tp + fn_ > 0:
-            precisions.append(tp / (tp + fp))
-            recalls.append(tp / (tp + fn_))
-    precisions = np.array(precisions)
-    recalls = np.array(recalls)
+    thresholds = np.arange(0.0, 1.01, 0.01)
+    if len(queries):
+        q_dist = top1_dist[queries]                       # (Q,)
+        q_correct = top1_correct[queries]
+        q_has_gt = has_gt[queries]
+        pred_pos = q_dist[None, :] < thresholds[:, None]  # (T, Q)
+        tp = (pred_pos & q_correct[None, :]).sum(axis=1)
+        fp = (pred_pos & ~q_correct[None, :]).sum(axis=1)
+        fn_ = (~pred_pos & q_has_gt[None, :]).sum(axis=1)
+        keep = (tp + fp > 0) & (tp + fn_ > 0)
+        precisions = (tp[keep] / np.maximum(tp[keep] + fp[keep], 1)).astype(np.float64)
+        recalls = (tp[keep] / np.maximum(tp[keep] + fn_[keep], 1)).astype(np.float64)
+    else:
+        precisions = np.zeros(0)
+        recalls = np.zeros(0)
 
     if len(precisions) == 0:
         return {"F1max": 0.0, "AUC": 0.0, "Recall@1": 0.0, "Recall@1pct": 0.0}

@@ -6,6 +6,8 @@ result loads into the real model (tree structure + shapes match) and that
 linear weights were transposed.
 """
 
+import os.path as osp
+
 import numpy as np
 import jax
 import pytest
@@ -165,3 +167,47 @@ def test_converted_params_run_forward(rng):
     pyramid = build_batch_pyramid(jnp.asarray(pts), jnp.asarray(msk), cfg)
     out = model.apply(converted, pyramid, None, training=False, with_fine_matching=False)
     assert np.isfinite(np.asarray(out["node_matching_scores"])).any()
+
+
+REFERENCE_PLY = "/root/reference/experiments/lcrnet/modules/kpconv/dispositions/k_015_center_3D.ply"
+
+
+def test_reference_disposition_install(tmp_path):
+    """Parity chain for the reference kernel geometry
+    (`kernel_points.py:426-455`): parse the shipped binary PLY, install it,
+    and verify `load_kernel_points` uses it (scaled by the conv radius)."""
+    from lcrnet_tpu.models import kernel_points as kp
+
+    if not osp.exists(REFERENCE_PLY):
+        pytest.skip("reference disposition PLY not present")
+    pts = kp.parse_ply_xyz(REFERENCE_PLY)
+    assert pts.shape == (15, 3)
+    # KPConv convention: center point at the origin, ring at ~0.66
+    np.testing.assert_allclose(pts[0], 0.0, atol=1e-6)
+    radii = np.linalg.norm(pts[1:], axis=1)
+    assert np.all((radii > 0.6) & (radii < 0.72))
+
+    try:
+        kp.set_unit_dispositions(pts)
+        scaled = kp.load_kernel_points(1.275, 15)
+        np.testing.assert_allclose(scaled, pts * 1.275, rtol=1e-6)
+    finally:
+        kp.set_unit_dispositions(None)
+    # override cleared: back to the seeded defaults
+    assert not np.allclose(kp.load_kernel_points(1.275, 15), pts * 1.275)
+
+
+def test_parse_ply_ascii(tmp_path):
+    from lcrnet_tpu.models.kernel_points import parse_ply_xyz
+
+    pts = np.array([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0], [-1.5, 0.25, 9.0]])
+    body = "\n".join(" ".join(f"{v:.6f}" for v in row) for row in pts)
+    ply = (
+        "ply\nformat ascii 1.0\nelement vertex 3\n"
+        "property float32 x\nproperty float32 y\nproperty float32 z\n"
+        "end_header\n" + body + "\n"
+    )
+    p = tmp_path / "k.ply"
+    p.write_text(ply)
+    got = parse_ply_xyz(str(p))
+    np.testing.assert_allclose(got, pts, atol=1e-6)

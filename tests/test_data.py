@@ -66,6 +66,33 @@ def test_augment_pair_preserves_alignment(rng):
     np.testing.assert_allclose(aligned, ref2, atol=1e-3)
 
 
+def test_augment_pair_applies_scale_shift_noise(rng):
+    """The full reference recipe (`dataset.py:114-143`): uniform noise bound,
+    scale in [min, max] applied to the geometry, per-cloud shift folded into
+    the transform."""
+    src = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    t = random_se3(rng).astype(np.float32)
+    ref = (src @ t[:3, :3].T + t[:3, 3]).astype(np.float32)
+
+    # noise-only config: displacement must be bounded by noise/2 (uniform)
+    cfg = AugmentConfig(noise=0.1, rotation=0.0, min_scale=1.0, max_scale=1.0, shift=0.0)
+    ref2, _, _ = augment_pair(ref.copy(), src.copy(), t, rng, cfg)
+    d = np.abs(ref2 - ref)
+    assert d.max() <= 0.05 + 1e-6 and d.max() > 0.0
+
+    # scale-only: pairwise extents scale together, alignment preserved
+    cfg = AugmentConfig(noise=0.0, rotation=0.0, min_scale=1.5, max_scale=1.5, shift=0.0)
+    ref3, src3, t3 = augment_pair(ref.copy(), src.copy(), t, rng, cfg)
+    np.testing.assert_allclose(src3, src * 1.5, atol=1e-5)
+    np.testing.assert_allclose(src3 @ t3[:3, :3].T + t3[:3, 3], ref3, atol=1e-4)
+
+    # shift-only: clouds move independently but the transform tracks it
+    cfg = AugmentConfig(noise=0.0, rotation=0.0, min_scale=1.0, max_scale=1.0, shift=3.0)
+    ref4, src4, t4 = augment_pair(ref.copy(), src.copy(), t, rng, cfg)
+    assert np.linalg.norm((ref4 - ref).mean(axis=0)) > 1e-3
+    np.testing.assert_allclose(src4 @ t4[:3, :3].T + t4[:3, 3], ref4, atol=1e-4)
+
+
 def test_pad_points_cap_and_mask(rng):
     pts = rng.normal(size=(100, 3)).astype(np.float32)
     out, mask = pad_points(pts, 128)
@@ -134,3 +161,29 @@ def test_pair_dataset_and_loader(rng):
     batches = list(pair_loader(ds, batch_size=2, shuffle=True, seed=1))
     assert len(batches) == 2
     assert batches[0].points.shape == (2, 2, cfg.shapes.points[0], 3)
+
+
+def test_overlap_gt_writer_roundtrip(tmp_path):
+    """Writer emits the reference on-disk format
+    (`loop_gt_seq00_0.3overlap_inactive.npz`: one object array of per-anchor
+    positive lists) and `load_overlap_gt` reads it back; the real reference
+    file (when present) loads through the same path."""
+    import sys
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "experiments"))
+    from test_loop_detection import load_overlap_gt
+
+    from lcrnet_tpu.data.generators import write_overlap_gt
+
+    gt = [[], [0], [], [0, 1], [2]]
+    p = str(tmp_path / "gt.npz")
+    write_overlap_gt(p, gt)
+    assert load_overlap_gt(p, 5) == gt
+
+    ref_file = (
+        "/root/reference/assets/data/kitti/loop_detection/overlap/"
+        "loop_gt_seq00_0.3overlap_inactive.npz"
+    )
+    if osp.exists(ref_file):
+        real = load_overlap_gt(ref_file, 4541)
+        assert 958 in real[3854] and 26 in real[4481]

@@ -94,3 +94,30 @@ def test_descriptor_train_step_runs(rng):
             msks[b, g, :300] = True
     state, metrics = step(state, jnp.asarray(pts), jnp.asarray(msks))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_frozen_descriptor_step_freezes_encoder(rng):
+    """Frozen LD mode (reference offline/half training,
+    `LCRNet_GlobalDescrition.py:25-110`): encoder parameters are bit-frozen
+    (stop_gradient + masked updates), NetVLAD still trains."""
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    state = create_train_state(cfg, params, 10, trainable_subtrees=("netvlad",))
+    step = make_descriptor_train_step(cfg, num_pos=1, num_neg=1, frozen=True)
+    n0 = cfg.shapes.points[0]
+    pts = np.full((1, 3, n0, 3), 1.0e6, np.float32)
+    msks = np.zeros((1, 3, n0), bool)
+    for g in range(3):
+        ref, _, _ = make_pair(rng, n=300)
+        pts[0, g, :300] = ref
+        msks[0, g, :300] = True
+    old = jax.tree.map(np.asarray, state.params)
+    state2, metrics = step(state, jnp.asarray(pts), jnp.asarray(msks))
+    assert np.isfinite(float(metrics["loss"]))
+    for name in ("encoder", "transformer", "vote_encoder", "kpdecoder"):
+        ol = jax.tree.leaves(old["params"][name])
+        nl = jax.tree.leaves(state2.params["params"][name])
+        assert all(np.array_equal(a, b) for a, b in zip(ol, nl)), f"{name} drifted"
+    nv_old = jax.tree.leaves(old["params"]["netvlad"])
+    nv_new = jax.tree.leaves(state2.params["params"]["netvlad"])
+    assert any(not np.array_equal(a, b) for a, b in zip(nv_old, nv_new))

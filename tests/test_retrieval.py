@@ -93,3 +93,56 @@ def test_registration_recall():
     agg = registration_recall(results)
     np.testing.assert_allclose(agg["RR"], 50.0)
     np.testing.assert_allclose(agg["RRE"], 0.55)
+
+
+def _retrieval_oracle(top1_dist, top1_correct, has_gt, queries):
+    """Straightforward per-threshold loop oracle (the pre-vectorization
+    semantics, mirroring reference `compute_PR_overlap`:66-121)."""
+    precisions, recalls = [], []
+    for thr in np.arange(0.0, 1.01, 0.01):
+        tp = fp = fn_ = 0
+        for i in queries:
+            if top1_dist[i] < thr:
+                if top1_correct[i]:
+                    tp += 1
+                else:
+                    fp += 1
+            elif has_gt[i]:
+                fn_ += 1
+        if tp + fp > 0 and tp + fn_ > 0:
+            precisions.append(tp / (tp + fp))
+            recalls.append(tp / (tp + fn_))
+    return np.array(precisions), np.array(recalls)
+
+
+def test_evaluate_loop_detection_sequence_scale(rng):
+    """KITTI-00-scale synthetic sequence (4000 frames, planted loops):
+    the vectorized threshold sweep must match the loop oracle exactly, and
+    the planted loop structure must be detected (high AUC/R@1)."""
+    n, d = 4000, 64
+    # base descriptors: slowly drifting random walk, so nearby frames are
+    # similar but far frames are not
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    gt = [np.zeros(0)] * n
+    # plant 200 loop closures: frame i revisits frame i - 1500
+    loop_queries = range(2000, 2200)
+    for i in loop_queries:
+        j = i - 1500
+        desc[i] = desc[j] + rng.normal(scale=0.05, size=d).astype(np.float32)
+        gt[i] = np.arange(j - 2, j + 3)
+    desc = desc / np.linalg.norm(desc, axis=1, keepdims=True)
+
+    res = evaluate_loop_detection(desc, gt, exclusion=100, start_frame=150)
+    assert res["AUC"] > 0.9
+    assert res["Recall@1"] > 0.95
+    assert res["F1max"] > 0.9
+
+    # exact equivalence with the python-loop oracle
+    top1_dist = res["top1_distances"]
+    top1_idx = res["top1_indices"]
+    top1_correct = np.array([top1_idx[i] in set(np.asarray(gt[i])) for i in range(n)])
+    has_gt = np.array([len(gt[i]) > 0 for i in range(n)])
+    queries = [i for i in range(150, n) if top1_dist[i] < 1e6]
+    p_o, r_o = _retrieval_oracle(top1_dist, top1_correct, has_gt, queries)
+    np.testing.assert_allclose(res["precisions"], p_o, atol=1e-12)
+    np.testing.assert_allclose(res["recalls"], r_o, atol=1e-12)
