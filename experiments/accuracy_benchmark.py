@@ -1,0 +1,386 @@
+#!/usr/bin/env python
+"""Real-data accuracy benchmark on the KITTI-00 demo scans.
+
+The image ships six real KITTI-00 LiDAR scans
+(`/root/reference/demo/data_demo/*.npy`: frames 26, 560, 958, 3528, 3854,
+4481) and the reference's GT registration pairs
+(`assets/data/kitti/registration/mixed/00.npz`), three of which fall inside
+the demo set: (3528, 560), (3854, 958), (4481, 26) — the middle one being
+the README demo pair (`/root/reference/README.md:78-86`).
+
+This script trains the full LCRNet on-device from scratch on pairs
+synthesized from the *training* scans only (sector-cropped partial-overlap
+self-pairs with random rigid motion + the reference augmentation recipe,
+plus the two real GT pairs between training scans), then evaluates the
+full test -> eval pipeline on the GT pairs.  Scans 958 and 3854 are held
+out entirely: pair (3854, 958) is evaluated on scans the model never saw.
+
+Stages (all on by default):
+  train      registration training (steps configurable)
+  evaluate   run the 3 GT pairs through the model, dump per-pair npz
+             artifacts (same schema as test_registration.py) + metrics
+  retrieval  frozen-NetVLAD triplet training on the training scans,
+             descriptor separation eval over all 6 scans
+  report     write ACCURACY md + json
+
+Reference yardsticks (`README.md:190-216`): continuous registration
+RR 99.82 / RRE 0.19 deg / RTE 3.9 cm on full KITTI; loop-closing
+RR 100 / RYE 0.10 deg / RTE 5 cm on seq 00.
+"""
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+DEMO_DIR = "/root/reference/demo/data_demo"
+GT_NPZ = "/root/reference/assets/data/kitti/registration/mixed/00.npz"
+DEMO_FRAMES = [26, 560, 958, 3528, 3854, 4481]
+TRAIN_FRAMES = [26, 560, 3528, 4481]      # 958 + 3854 held out entirely
+HELD_OUT_PAIR = (3854, 958)
+LOOP_PAIRS = [(3528, 560), (3854, 958), (4481, 26)]
+
+
+def load_demo_scans():
+    from lcrnet_tpu.data.kitti import load_scan_npy
+
+    return {f: load_scan_npy(osp.join(DEMO_DIR, f"{f:06d}.npy")) for f in DEMO_FRAMES}
+
+
+def load_gt_pairs():
+    """The GT (anc, pos, transform src->ref) rows among the demo frames."""
+    rows = np.load(GT_NPZ, allow_pickle=True)["data"]
+    demo = set(DEMO_FRAMES)
+    pairs = []
+    for r in rows:
+        anc = int(r["anc_idx"])
+        if anc not in demo:
+            continue
+        poss = np.atleast_1d(r["pos_idx"]).astype(int)
+        ts = np.asarray(r["pose"]).reshape(-1, 4, 4)
+        for k, p in enumerate(poss):
+            if int(p) in demo:
+                pairs.append({"anc_idx": anc, "pos_idx": int(p),
+                              "transform": ts[k].astype(np.float32)})
+    return pairs
+
+
+def sector_crop(points, rng, width_deg=300.0):
+    """Random azimuth sector crop — synthesizes partial overlap the way a
+    displaced LiDAR sees a different part of the scene."""
+    theta0 = rng.uniform(0, 2 * np.pi)
+    az = np.arctan2(points[:, 1], points[:, 0])
+    rel = (az - theta0) % (2 * np.pi)
+    return points[rel < np.radians(width_deg)]
+
+
+def random_rigid(rng, max_yaw=np.pi, max_xy=8.0, max_z=0.3):
+    """A loop-closure-scale rigid motion (yaw + planar translation)."""
+    t = np.eye(4, dtype=np.float32)
+    a = rng.uniform(-max_yaw, max_yaw)
+    c, s = np.cos(a), np.sin(a)
+    t[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    t[:2, 3] = rng.uniform(-max_xy, max_xy, 2)
+    t[2, 3] = rng.uniform(-max_z, max_z)
+    return t
+
+
+def make_train_sample(scans, rng, cfg, gt_pairs_train):
+    """One augmented training pair: either a sector-cropped self-pair with a
+    random rigid motion, or (30%) one of the real GT pairs between training
+    scans — both through the reference augmentation recipe."""
+    from lcrnet_tpu.data.kitti import AugmentConfig, augment_pair, pad_points
+
+    aug = AugmentConfig(
+        rotation=cfg.train.augmentation_rotation,
+        noise=cfg.train.augmentation_noise,
+        min_scale=cfg.train.augmentation_min_scale,
+        max_scale=cfg.train.augmentation_max_scale,
+        shift=cfg.train.augmentation_shift,
+    )
+    if gt_pairs_train and rng.uniform() < 0.3:
+        pair = gt_pairs_train[rng.integers(len(gt_pairs_train))]
+        ref = scans[pair["pos_idx"]]
+        src = scans[pair["anc_idx"]]
+        t = pair["transform"].copy()
+    else:
+        scan = scans[TRAIN_FRAMES[rng.integers(len(TRAIN_FRAMES))]]
+        ref = sector_crop(scan, rng)
+        src = sector_crop(scan, rng)
+        # move src into its own frame: src_frame = inv(t) @ world
+        t = random_rigid(rng)
+        inv = np.linalg.inv(t)
+        src = (src @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+    ref, src, t = augment_pair(ref, src, t, rng, aug)
+    cap = cfg.shapes.points[0]
+    rp, rm = pad_points(ref, cap, cfg.train.point_limit, rng)
+    sp, sm = pad_points(src, cap, cfg.train.point_limit, rng)
+    return rp, rm, sp, sm, t
+
+
+def run_registration_eval(cfg, params, scans, gt_pairs, feature_dir):
+    """Forward every GT pair, dump test_registration-schema npz artifacts,
+    return per-pair metric dicts."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.data.kitti import pad_points
+    from lcrnet_tpu.models.lcrnet import LCRNet
+    from lcrnet_tpu.models.losses import evaluate_pair
+    from lcrnet_tpu.pipeline import build_batch_pyramid
+
+    model = LCRNet(cfg)
+
+    @jax.jit
+    def run_pair(params, points, masks, transform):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        out = model.apply(params, pyramid, transform, training=False)
+        metrics = evaluate_pair(out, transform, cfg)
+        keep = {
+            "ref_points_f": out["points_f"][0],
+            "src_points_f": out["points_f"][1],
+            "ref_masks_f": out["masks_f"][0],
+            "src_masks_f": out["masks_f"][1],
+            "ref_nodes": out["nodes"][0],
+            "src_nodes": out["nodes"][1],
+            "node_masks": out["node_masks"],
+            "ref_node_corr_indices": out["ref_node_corr_indices"],
+            "src_node_corr_indices": out["src_node_corr_indices"],
+            "node_corr_valid": out["node_corr_valid"],
+            "ref_corr_points": out["ref_corr_points"],
+            "src_corr_points": out["src_corr_points"],
+            "corr_scores": out["corr_scores"],
+            "corr_valid": out["corr_valid"],
+            "estimated_transform": out["estimated_transform"],
+            "gt_node_corr_ref": out["gt_node_corr"].ref_indices,
+            "gt_node_corr_src": out["gt_node_corr"].src_indices,
+            "gt_node_corr_overlaps": out["gt_node_corr"].overlaps,
+            "gt_node_corr_valid": out["gt_node_corr"].valid,
+        }
+        return keep, metrics
+
+    os.makedirs(feature_dir, exist_ok=True)
+    cap = cfg.shapes.points[0]
+    results = []
+    for pair in gt_pairs:
+        rp, rm = pad_points(scans[pair["pos_idx"]], cap)
+        sp, sm = pad_points(scans[pair["anc_idx"]], cap)
+        pts = jnp.asarray(np.stack([rp, sp]))
+        msk = jnp.asarray(np.stack([rm, sm]))
+        keep, metrics = run_pair(params, pts, msk, jnp.asarray(pair["transform"]))
+        keep = {k: np.asarray(v) for k, v in keep.items()}
+        keep["transform"] = pair["transform"]
+        np.savez_compressed(
+            osp.join(feature_dir, f'00_{pair["anc_idx"]}_{pair["pos_idx"]}.npz'), **keep
+        )
+        m = {k: float(v) for k, v in metrics.items()}
+        m["anc_idx"], m["pos_idx"] = pair["anc_idx"], pair["pos_idx"]
+        m["held_out_scans"] = (pair["anc_idx"], pair["pos_idx"]) == HELD_OUT_PAIR
+        results.append(m)
+    return results
+
+
+def compute_descriptors(cfg, params, scans):
+    import jax
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.data.kitti import pad_points
+    from lcrnet_tpu.models.lcrnet import LCRNet
+    from lcrnet_tpu.pipeline import build_batch_pyramid
+
+    model = LCRNet(cfg)
+
+    @jax.jit
+    def describe(params, points, masks):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        return model.apply(params, pyramid, method=LCRNet.describe)
+
+    cap = cfg.shapes.points[0]
+    descs = {}
+    for f in DEMO_FRAMES:
+        p, m = pad_points(scans[f], cap)
+        descs[f] = np.asarray(describe(params, jnp.asarray(p[None]), jnp.asarray(m[None])))[0]
+    return descs
+
+
+def retrieval_separation(descs):
+    """L2 distances of loop vs non-loop demo-frame pairs."""
+    loops = {tuple(sorted(p)) for p in LOOP_PAIRS}
+    loop_d, nonloop_d = {}, {}
+    for i, a in enumerate(DEMO_FRAMES):
+        for b in DEMO_FRAMES[i + 1:]:
+            d = float(np.linalg.norm(descs[a] - descs[b]))
+            (loop_d if tuple(sorted((a, b))) in loops else nonloop_d)[(a, b)] = d
+    return loop_d, nonloop_d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--desc_steps", type=int, default=300)
+    ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--output", default="output/accuracy_r02")
+    ap.add_argument("--snapshot", default=None, help="resume registration params")
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--seed", type=int, default=7351)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.engine.checkpoint import load_snapshot, save_snapshot
+    from lcrnet_tpu.engine.events import EventWriter
+    from lcrnet_tpu.engine.train import (
+        PairBatch, create_train_state, make_descriptor_train_step, make_train_step,
+    )
+    from lcrnet_tpu.pipeline import init_params
+
+    cfg = make_cfg()
+    rng = np.random.default_rng(args.seed)
+    os.makedirs(args.output, exist_ok=True)
+    events = EventWriter(args.output)
+
+    scans = load_demo_scans()
+    gt_pairs = load_gt_pairs()
+    gt_pairs_train = [
+        p for p in gt_pairs
+        if p["anc_idx"] in TRAIN_FRAMES and p["pos_idx"] in TRAIN_FRAMES
+    ]
+    print(f"scans: { {f: len(s) for f, s in scans.items()} }")
+    print(f"GT pairs: {[(p['anc_idx'], p['pos_idx']) for p in gt_pairs]}; "
+          f"train-usable: {[(p['anc_idx'], p['pos_idx']) for p in gt_pairs_train]}")
+
+    params = init_params(cfg)
+    if args.snapshot:
+        params = load_snapshot(args.snapshot, template={"params": params})["params"]
+
+    report = {"config": {"steps": args.steps, "desc_steps": args.desc_steps,
+                         "neighbor_limits": list(cfg.shapes.neighbor_limits),
+                         "train_frames": TRAIN_FRAMES, "seed": args.seed}}
+
+    # ---------------- stage 1: registration training ----------------
+    if not args.skip_train and args.steps > 0:
+        state = create_train_state(cfg, {"params": params["params"]}, steps_per_epoch=1000)
+        step = make_train_step(cfg)
+        key = jax.random.PRNGKey(args.seed)
+        t0 = time.time()
+        for i in range(args.steps):
+            rp, rm, sp, sm, t = make_train_sample(scans, rng, cfg, gt_pairs_train)
+            batch = PairBatch(
+                jnp.asarray(np.stack([rp, sp])[None]),
+                jnp.asarray(np.stack([rm, sm])[None]),
+                jnp.asarray(t[None]),
+            )
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, sub)
+            if (i + 1) % 25 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = (i + 1) / (time.time() - t0)
+                print(f"[train {i + 1}/{args.steps}] loss={m['loss']:.4f} "
+                      f"c={m['c_loss']:.3f} g={m['g_loss']:.3f} v={m['v_loss']:.3f} "
+                      f"({rate:.2f} steps/s)", flush=True)
+                for k, v in m.items():
+                    events.add_scalar(k, v, i + 1)
+            if args.eval_every and (i + 1) % args.eval_every == 0 and (i + 1) < args.steps:
+                evals = run_registration_eval(
+                    cfg, state.params, scans, gt_pairs, osp.join(args.output, "features"))
+                for e in evals:
+                    print(f"  eval ({e['anc_idx']},{e['pos_idx']})"
+                          f"{' [held-out scans]' if e['held_out_scans'] else ''}: "
+                          f"RRE={e['RRE']:.3f}deg RTE={e['RTE'] * 100:.1f}cm "
+                          f"IR={e['IR']:.3f} PIR={e['PIR']:.3f} RR={e['RR']:.0f}",
+                          flush=True)
+        params = state.params
+        save_snapshot(osp.join(args.output, "snapshots"), args.steps, state.params, None)
+        report["train_seconds"] = round(time.time() - t0, 1)
+        report["train_steps_per_sec"] = round(args.steps / (time.time() - t0), 3)
+
+    # ---------------- stage 2: registration eval ----------------
+    evals = run_registration_eval(cfg, params, scans, gt_pairs,
+                                  osp.join(args.output, "features"))
+    report["registration"] = evals
+    rr = float(np.mean([e["RR"] for e in evals]))
+    rre = float(np.mean([e["RRE"] for e in evals]))
+    rte = float(np.mean([e["RTE"] for e in evals]))
+    print("\n== registration eval (3 real GT pairs) ==")
+    for e in evals:
+        tag = " [held-out scans]" if e["held_out_scans"] else ""
+        print(f"  ({e['anc_idx']},{e['pos_idx']}){tag}: RRE={e['RRE']:.3f}deg "
+              f"RTE={e['RTE'] * 100:.1f}cm IR={e['IR']:.3f} PIR={e['PIR']:.3f} RR={e['RR']:.0f}")
+    print(f"  mean: RR={rr * 100:.0f}% RRE={rre:.3f}deg RTE={rte * 100:.1f}cm")
+
+    # ---------------- stage 3: descriptor training (frozen) ----------------
+    if args.desc_steps > 0:
+        from lcrnet_tpu.data.kitti import pad_points, yaw_rotation
+
+        desc_cfg = cfg.replace(optim=cfg.optim.__class__(optimizer="adan", lr=5e-4))
+        state = create_train_state(desc_cfg, {"params": params["params"]},
+                                   steps_per_epoch=100,
+                                   trainable_subtrees=("netvlad",))
+        dstep = make_descriptor_train_step(desc_cfg, num_pos=1, num_neg=2, frozen=True)
+        # triplets among training scans only: the two train-scan loop pairs
+        triplets = [(3528, 560, (26, 4481)), (560, 3528, (26, 4481)),
+                    (4481, 26, (560, 3528)), (26, 4481, (560, 3528))]
+        cap = cfg.shapes.points[0]
+        noise = cfg.train.augmentation_noise
+        t0 = time.time()
+        for i in range(args.desc_steps):
+            anc, pos, negs = triplets[rng.integers(len(triplets))]
+            group_frames = [anc, pos, *negs]
+            pts = np.zeros((1, 4, cap, 3), np.float32)
+            msk = np.zeros((1, 4, cap), bool)
+            for g, f in enumerate(group_frames):
+                # independent yaw + uniform noise per group member (the
+                # retrieval descriptor must be yaw-invariant)
+                rot = yaw_rotation(rng.uniform(0, 2 * np.pi))
+                p = scans[f] @ rot.T
+                p = p + (rng.random(p.shape) - 0.5).astype(np.float32) * noise
+                pp, mm = pad_points(p.astype(np.float32), cap, cfg.train.point_limit, rng)
+                pts[0, g], msk[0, g] = pp, mm
+            state, metrics = dstep(state, jnp.asarray(pts), jnp.asarray(msk))
+            if (i + 1) % 25 == 0:
+                print(f"[desc {i + 1}/{args.desc_steps}] loss={float(metrics['loss']):.4f} "
+                      f"({(i + 1) / (time.time() - t0):.2f} steps/s)", flush=True)
+        params = state.params
+        save_snapshot(osp.join(args.output, "snapshots_desc"), args.desc_steps,
+                      state.params, None)
+        report["desc_seconds"] = round(time.time() - t0, 1)
+
+    # ---------------- stage 4: retrieval eval ----------------
+    descs = compute_descriptors(cfg, params, scans)
+    np.savez(osp.join(args.output, "demo_descriptors.npz"),
+             **{str(f): d for f, d in descs.items()})
+    loop_d, nonloop_d = retrieval_separation(descs)
+    print("\n== retrieval separation (6-scan database) ==")
+    for k, v in sorted(loop_d.items()):
+        print(f"  loop {k}: L2={v:.4f}")
+    print(f"  non-loop: min={min(nonloop_d.values()):.4f} "
+          f"mean={np.mean(list(nonloop_d.values())):.4f}")
+    margin = min(nonloop_d.values()) - max(loop_d.values())
+    separated = margin > 0
+    print(f"  separated: {separated} (margin {margin:+.4f})")
+    report["retrieval"] = {
+        "loop_distances": {f"{a}-{b}": round(v, 5) for (a, b), v in loop_d.items()},
+        "nonloop_min": round(min(nonloop_d.values()), 5),
+        "nonloop_mean": round(float(np.mean(list(nonloop_d.values()))), 5),
+        "margin": round(margin, 5),
+        "separated": bool(separated),
+        "demo_pair_3854_958_L2": round(loop_d.get((958, 3854), loop_d.get((3854, 958), -1.0)), 6),
+    }
+
+    report["summary"] = {"RR": rr, "RRE_deg": rre, "RTE_m": rte,
+                         "retrieval_separated": bool(separated)}
+    with open(osp.join(args.output, "accuracy.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"\nreport written to {osp.join(args.output, 'accuracy.json')}")
+
+
+if __name__ == "__main__":
+    main()

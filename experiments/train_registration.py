@@ -30,12 +30,20 @@ def main():
     ap.add_argument("--max_epoch", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dp", type=int, default=None, help="data-parallel width")
+    # multi-host launch (reference DDP launcher analogue): pass the same
+    # coordinator to every process; omit all three for single-host runs
+    ap.add_argument("--coordinator", default=None, help="host:port of process 0")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     args = ap.parse_args()
+
+    from lcrnet_tpu.parallel.mesh import make_mesh, setup_distributed
+
+    setup_distributed(args.coordinator, args.num_processes, args.process_id)
 
     from lcrnet_tpu.config import make_cfg
     from lcrnet_tpu.data.loader import make_kitti_registration_dataset, pair_loader
     from lcrnet_tpu.engine.trainer import EpochTrainer
-    from lcrnet_tpu.parallel.mesh import make_mesh
 
     cfg = make_cfg()
     datasets = []

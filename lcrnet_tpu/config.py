@@ -32,7 +32,10 @@ class ShapeBudget:
     """
 
     points: Tuple[int, ...] = (20480, 8192, 2560, 768)
-    neighbor_limits: Tuple[int, ...] = (40, 40, 40, 40)
+    # measured 80% quantile over the real KITTI-00 demo scans
+    # (data/calibrate.py on /root/reference/demo/data_demo, 2026-08; the
+    # reference's own calibration lands at ~[64, 65, 74, 80])
+    neighbor_limits: Tuple[int, ...] = (68, 63, 68, 62)
     # width of the subsampling (coarse<-fine) pooling tables per transition
     max_nodes: int = 256           # node budget after NMS (per cloud)
     # max coarse (node) correspondences; the dustbin-mode union of row/col

@@ -43,7 +43,7 @@ _BANDED_SEARCH_MIN_SUPPORT = 4096
 
 def _search(q, s, qm, sm, radius, limit):
     if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT and s.shape[1] % 128 == 0:
-        if jax.default_backend() == "tpu" and limit <= 48:
+        if jax.default_backend() == "tpu" and limit <= 96:
             from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
 
             return radius_search_banded_pallas(q, s, qm, sm, radius, limit)

@@ -7,4 +7,4 @@ model-parallel axis sharding the point dimension of the backbone (no
 reference equivalent; TPU-native extension).
 """
 
-from lcrnet_tpu.parallel.mesh import make_mesh
+from lcrnet_tpu.parallel.mesh import make_mesh, process_local_batch_slice, setup_distributed

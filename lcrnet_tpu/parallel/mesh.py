@@ -22,3 +22,34 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1, devices: Optional[Sequence]
     assert dp * mp <= len(devices), f"need {dp * mp} devices, have {len(devices)}"
     arr = np.array(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, axis_names=("dp", "mp"))
+
+
+def setup_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host initialization (replaces the reference's
+    torch.distributed/NCCL process-group setup, `base_trainer.py:64-87`).
+
+    Call before any other jax API.  On TPU pods the three arguments are
+    auto-discovered from the environment and may be omitted; passing them
+    explicitly supports manual launches (and the CPU Gloo backend used by
+    the two-process smoke test).  Returns True if distributed mode is on.
+    """
+    if coordinator is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_local_batch_slice(total_batch: int) -> slice:
+    """The slice of a globally-indexed batch this process should load —
+    the host-sharding analogue of the reference's DistributedSampler."""
+    per = total_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)

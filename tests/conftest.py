@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite compiles several full-model
+# programs (~minutes each on CPU); repeat runs hit the disk cache instead.
+_CACHE_DIR = os.environ.get("LCRNET_JAX_CACHE", "/tmp/lcrnet_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np
 import pytest
 

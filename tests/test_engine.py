@@ -121,3 +121,31 @@ def test_frozen_descriptor_step_freezes_encoder(rng):
     nv_old = jax.tree.leaves(old["params"]["netvlad"])
     nv_new = jax.tree.leaves(state2.params["params"]["netvlad"])
     assert any(not np.array_equal(a, b) for a, b in zip(nv_old, nv_new))
+
+
+def test_sharded_step_collective_inventory(rng):
+    """The dp x mp-sharded step must not all-gather whole point-axis
+    activations: XLA should compute on local point shards and psum partial
+    results.  Guard: every collective payload stays under the size of one
+    full stage-0 activation tensor; gradient all-reduces are present."""
+    from lcrnet_tpu.parallel.analyze import collective_inventory
+    from lcrnet_tpu.parallel.mesh import make_mesh
+
+    cfg = make_test_cfg()
+    mesh = make_mesh(dp=4, mp=2)
+    params = init_params(cfg)
+    state = create_train_state(cfg, params, 10)
+    step = make_train_step(cfg, mesh=mesh)
+    n0 = cfg.shapes.points[0]
+    batch = PairBatch(
+        jnp.zeros((4, 2, n0, 3)), jnp.zeros((4, 2, n0), bool), jnp.zeros((4, 4, 4))
+    )
+    comp = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    inv = collective_inventory(comp)
+    assert any(d["op"] == "all-reduce" for d in inv), "gradient psum missing"
+    # all-reduces are inherent (dp gradient sums + mp partial sums); the
+    # failure mode is an ALL-GATHER that re-materializes the full point-axis
+    # activations per device.  Bound: 2x one pair's stage-0 feature tensor.
+    bound = 2 * (2 * n0 * 128 * 4)
+    offenders = [d for d in inv if d["op"] == "all-gather" and d["bytes"] > bound]
+    assert not offenders, f"oversized all-gathers: {offenders[:3]}"
