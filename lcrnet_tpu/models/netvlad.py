@@ -12,10 +12,18 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 _NEG_INF = -1.0e12
+
+# TPU trap (NOTES.md): the default matmul precision rounds inputs to bf16.
+# The place-identity signal rides on residuals ~1e-3 of the feature
+# magnitude — below bf16 resolution — so every matmul here runs f32.
+# (Measured: with default precision the triplet loss is frozen at exactly
+# 2*margin and descriptor gradients vanish; with HIGHEST it trains.)
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _scaled_normal(scale_dim):
@@ -32,7 +40,7 @@ class GatingContext(nn.Module):
     @nn.compact
     def __call__(self, x):
         w = self.param("gating_weights", _scaled_normal(self.dim), (self.dim, self.dim))
-        gates = x @ w
+        gates = jnp.matmul(x, w, precision=_HI)
         gates = nn.LayerNorm()(gates)
         return x * nn.sigmoid(gates)
 
@@ -60,7 +68,7 @@ class NetVLAD(nn.Module):
             (self.cluster_size * c, self.output_dim),
         )
 
-        activation = x @ cluster_w  # (B, N, K)
+        activation = jnp.matmul(x, cluster_w, precision=_HI)  # (B, N, K)
         activation = nn.LayerNorm()(activation)
         activation = jnp.where(mask[..., None], activation, _NEG_INF)
         activation = nn.softmax(activation, axis=-1)
@@ -69,14 +77,14 @@ class NetVLAD(nn.Module):
         a_sum = jnp.sum(activation, axis=-2, keepdims=True)  # (B, 1, K)
         a = a_sum * cluster_w2  # (B, C, K)
 
-        vlad = jnp.einsum("bnk,bnc->bck", activation, x)  # (B, C, K)
+        vlad = jnp.einsum("bnk,bnc->bck", activation, x, precision=_HI)  # (B, C, K)
         vlad = vlad - a
         # intra-normalization over the feature axis (dim=1 in the reference)
         vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6)
         vlad = vlad.transpose(0, 2, 1).reshape(b, self.cluster_size * c)
         vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6)
 
-        vlad = vlad @ hidden_w
+        vlad = jnp.matmul(vlad, hidden_w, precision=_HI)
         vlad = nn.LayerNorm()(vlad)
         if self.gating:
             vlad = GatingContext(self.output_dim)(vlad)
