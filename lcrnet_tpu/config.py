@@ -201,6 +201,10 @@ class LCRNetConfig:
     """Top-level config: composition of all sub-configs."""
 
     seed: int = 7351
+    # bf16 extraction passes in the Pallas banded search (distances still
+    # computed f32): ~2x VPU throughput on the selection loop; near-equal
+    # neighbors (<0.5% of r^2 apart) may swap in the truncation set
+    fast_select: bool = False
     shapes: ShapeBudget = field(default_factory=ShapeBudget)
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
     vote: VoteConfig = field(default_factory=VoteConfig)

@@ -41,12 +41,14 @@ from lcrnet_tpu.ops.radius_search import (
 _BANDED_SEARCH_MIN_SUPPORT = 4096
 
 
-def _search(q, s, qm, sm, radius, limit):
+def _search(q, s, qm, sm, radius, limit, fast_select=False):
     if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT and s.shape[1] % 128 == 0:
         if jax.default_backend() == "tpu" and limit <= 96:
             from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
 
-            return radius_search_banded_pallas(q, s, qm, sm, radius, limit)
+            return radius_search_banded_pallas(
+                q, s, qm, sm, radius, limit, fast_select=fast_select
+            )
         from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
 
         return radius_search_banded_batched(q, s, qm, sm, radius, limit)
@@ -73,6 +75,7 @@ def build_pyramid_batched(
     neighbor_limits: Sequence[int],
     init_voxel_size: float,
     init_radius: float,
+    fast_select: bool = False,
 ) -> Pyramid:
     """Build pyramids for (B, N0, 3) padded clouds in one pass."""
     num_stages = len(stage_capacities)
@@ -94,20 +97,28 @@ def build_pyramid_batched(
     upsampling, upsampling_masks = [], []
     radius = init_radius
     for i in range(num_stages):
-        idx, val = _search(pts[i], pts[i], msks[i], msks[i], radius, neighbor_limits[i])
-        neighbors.append(idx)
-        neighbor_masks.append(val)
         if i < num_stages - 1:
-            idx, val = _search(
-                pts[i + 1], pts[i], msks[i + 1], msks[i], radius, neighbor_limits[i]
-            )
-            subsampling.append(idx)
-            subsampling_masks.append(val)
+            # fuse the self search (stage-i queries) and the subsampling
+            # search (stage-(i+1) queries) over the SAME supports/radius/
+            # limit into one kernel sweep: the support x-sort, window
+            # binary-searches and selection grid run once instead of twice
+            n_i = pts[i].shape[1]
+            q = jnp.concatenate([pts[i], pts[i + 1]], axis=1)
+            qm = jnp.concatenate([msks[i], msks[i + 1]], axis=1)
+            idx, val = _search(q, pts[i], qm, msks[i], radius, neighbor_limits[i], fast_select)
+            neighbors.append(idx[:, :n_i])
+            neighbor_masks.append(val[:, :n_i])
+            subsampling.append(idx[:, n_i:])
+            subsampling_masks.append(val[:, n_i:])
             nidx, nval = nearest_search_batched(
                 pts[i], pts[i + 1], msks[i], msks[i + 1], radius * 2.0
             )
             upsampling.append(nidx[..., None])
             upsampling_masks.append(nval[..., None])
+        else:
+            idx, val = _search(pts[i], pts[i], msks[i], msks[i], radius, neighbor_limits[i], fast_select)
+            neighbors.append(idx)
+            neighbor_masks.append(val)
         radius *= 2.0
 
     return Pyramid(

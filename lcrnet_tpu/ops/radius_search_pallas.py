@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1.0e12
 
 
-def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2):
+def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2, fast_select):
     """One query block: distances + in-VMEM argmin extraction.
 
     ws_ref: scalar-prefetch (grid,) window starts into the flattened,
@@ -34,6 +34,12 @@ def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2):
     s_ref: full flattened supports, TRANSPOSED (3, B*S) so the dynamic
     window slice runs along the lane dimension (Mosaic-friendly); invalid
     supports carry PAD coordinates and fall out of the radius test.
+
+    fast_select runs the `limit` extraction passes on bf16 distances (2x
+    VPU lanes per register): distances are still COMPUTED in f32 (the
+    bf16-coordinate trap, NOTES.md), only the relative ordering of
+    near-equal neighbors (<~0.5% of r^2) can differ — an equally valid
+    nearest-`limit` truncation set.
     """
     i = pl.program_id(0)
     ws = pl.multiple_of(ws_ref[i], 128)
@@ -54,16 +60,24 @@ def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2):
     block = blk.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
 
+    if fast_select:
+        # rescale in-radius entries into bf16's comfortable range; the BIG
+        # sentinel must NOT be scaled (validity checks vals >= _BIG/2)
+        d = jnp.where(d2 <= r2, d2 * (1.0 / r2), _BIG).astype(jnp.bfloat16)
+        big = jnp.bfloat16(_BIG)
+    else:
+        d = d2
+        big = _BIG
+
     # static unroll: Mosaic requires static (or 128-aligned) store columns
-    d = d2
     idx_cols = []
     val_cols = []
     for _ in range(limit):
         bv = jnp.min(d, axis=1)
         best = jnp.argmin(d, axis=1).astype(jnp.int32)
-        d = jnp.where(iota == best[:, None], _BIG, d)
+        d = jnp.where(iota == best[:, None], big, d)
         idx_cols.append((best + ws)[:, None])
-        val_cols.append(bv[:, None])
+        val_cols.append(bv.astype(jnp.float32)[:, None])
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
     val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
@@ -78,11 +92,13 @@ def radius_search_banded_pallas(
     block_size: int = 128,
     window: int = 4224,
     interpret: bool = False,
+    fast_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded radius search with the fused Pallas selection kernel.
 
     Same contract as `radius_search_banded_batched`: (B, Q, limit) int32
     indices into each cloud's original support order + validity.
+    fast_select: bf16 extraction passes (see `_kernel`).
     """
     b, q, _ = q_points.shape
     s = s_points.shape[1]
@@ -138,7 +154,9 @@ def radius_search_banded_pallas(
     s_sorted = jnp.where(s_sorted_inv[..., None], 1.0e6, s_sorted)
     s_flat_t = jnp.swapaxes(s_sorted, 1, 2).reshape(b, 3, s).transpose(1, 0, 2).reshape(3, b * s)
 
-    kernel = functools.partial(_kernel, window=w, limit=limit, r2=r2)
+    kernel = functools.partial(
+        _kernel, window=w, limit=limit, r2=r2, fast_select=fast_select
+    )
     idx_sorted, vals = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

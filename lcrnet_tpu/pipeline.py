@@ -27,6 +27,7 @@ def build_batch_pyramid(points: jnp.ndarray, masks: jnp.ndarray, cfg: LCRNetConf
         cfg.shapes.neighbor_limits,
         cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius,
+        fast_select=cfg.fast_select,
     )
 
 
