@@ -211,3 +211,41 @@ def test_parse_ply_ascii(tmp_path):
     p.write_text(ply)
     got = parse_ply_xyz(str(p))
     np.testing.assert_allclose(got, pts, atol=1e-6)
+
+
+def test_convert_cli_roundtrip(tmp_path, rng):
+    """Full converter chain: synth torch .tar -> convert_snapshot.py ->
+    orbax snapshot -> load_snapshot -> model forward runs (the 'demo
+    --snapshot accepts a converted tree' contract)."""
+    import subprocess
+    import sys as _sys
+
+    import torch
+
+    sd = synth_reference_state_dict(rng)
+    tar = tmp_path / "ref.tar"
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}}, tar)
+
+    out = tmp_path / "snap"
+    repo = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"}
+    r = subprocess.run(
+        [_sys.executable, osp.join(repo, "experiments", "convert_snapshot.py"),
+         "--torch_snapshot", str(tar), "--output", str(out),
+         "--dispositions", REFERENCE_PLY if osp.exists(REFERENCE_PLY) else None]
+        if osp.exists(REFERENCE_PLY) else
+        [_sys.executable, osp.join(repo, "experiments", "convert_snapshot.py"),
+         "--torch_snapshot", str(tar), "--output", str(out)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from lcrnet_tpu.config import make_cfg, make_test_cfg
+    from lcrnet_tpu.engine.checkpoint import load_snapshot
+    from lcrnet_tpu.pipeline import init_params
+
+    cfg = make_cfg(shapes=make_test_cfg().shapes)
+    template = {"params": init_params(cfg)}
+    loaded = load_snapshot(str(out), template=template)
+    kernel = loaded["params"]["params"]["transformer"]["Dense_0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(kernel), sd["transformer.in_proj.weight"].T)
