@@ -116,12 +116,18 @@ def main():
     np.savez(osp.join(args.descriptor_dir, f"seq{args.seq:02d}_descriptors.npz"), descriptors=descs)
 
     if args.gt_file:
-        from lcrnet_tpu.utils.retrieval import save_retrieval_artifacts
+        from lcrnet_tpu.utils.retrieval import (
+            save_predicted_distances,
+            save_retrieval_artifacts,
+        )
 
         gt = load_overlap_gt(args.gt_file, n)
         res = evaluate_loop_detection(descs, gt)
         save_retrieval_artifacts(
             osp.join(args.descriptor_dir, f"seq{args.seq:02d}_pr_curve.npz"), res
+        )
+        save_predicted_distances(
+            osp.join(args.descriptor_dir, "predicted_des_L2_dis.npz"), res
         )
         print(
             f"AUC: {res['AUC']:.3f}  F1max: {res['F1max']:.3f}  "

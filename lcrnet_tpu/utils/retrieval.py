@@ -114,7 +114,11 @@ def evaluate_loop_detection(
         recalls = np.zeros(0)
 
     if len(precisions) == 0:
-        return {"F1max": 0.0, "AUC": 0.0, "Recall@1": 0.0, "Recall@1pct": 0.0}
+        return {
+            "F1max": 0.0, "AUC": 0.0, "Recall@1": 0.0, "Recall@1pct": 0.0,
+            "precisions": precisions, "recalls": recalls,
+            "top1_distances": top1_dist, "top1_indices": top1_idx,
+        }
 
     f1 = 2 * precisions * recalls / np.maximum(precisions + recalls, 1e-12)
     order = np.argsort(recalls)
@@ -153,6 +157,23 @@ def evaluate_loop_detection(
         "top1_distances": top1_dist,
         "top1_indices": top1_idx,
     }
+
+
+def save_predicted_distances(path: str, results: Dict, start_frame: int = 150):
+    """Write the reference's `predicted_des_L2_dis.npz` artifact
+    (`eval_loop_detection_overlap_dataset.py:216-219`): one unnamed array of
+    (query_idx, retrieved_idx, L2_distance) rows, top-1 per query."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    d = np.asarray(results["top1_distances"])
+    idx = np.asarray(results["top1_indices"])
+    rows = [
+        (float(i), float(idx[i]), float(d[i]))
+        for i in range(start_frame, len(d))
+        if d[i] < _BIG / 2
+    ]
+    np.savez_compressed(path, np.asarray(rows, dtype=np.float64))
 
 
 def save_retrieval_artifacts(path: str, results: Dict):

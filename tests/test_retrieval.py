@@ -146,3 +146,21 @@ def test_evaluate_loop_detection_sequence_scale(rng):
     p_o, r_o = _retrieval_oracle(top1_dist, top1_correct, has_gt, queries)
     np.testing.assert_allclose(res["precisions"], p_o, atol=1e-12)
     np.testing.assert_allclose(res["recalls"], r_o, atol=1e-12)
+
+
+def test_save_predicted_distances_format(tmp_path, rng):
+    """Reference artifact parity: (query, retrieved, distance) rows, arr_0,
+    reshapeable to (N, 3) exactly as `compute_topN` consumes it."""
+    from lcrnet_tpu.utils.retrieval import save_predicted_distances
+
+    n, d = 400, 32
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    gt = [np.zeros(0)] * n
+    res = evaluate_loop_detection(desc, gt, exclusion=100, start_frame=150)
+    p = str(tmp_path / "predicted_des_L2_dis.npz")
+    save_predicted_distances(p, res)
+    arr = np.load(p)["arr_0"].astype("float32").reshape(-1, 3)
+    assert len(arr) == n - 150
+    assert (arr[:, 0] >= 150).all()
+    assert (arr[:, 2] >= 0).all()
