@@ -124,9 +124,13 @@ def make_train_sample(scans, rng, cfg, gt_pairs_train):
     return rp, rm, sp, sm, t
 
 
+_EVAL_FN_CACHE = {}
+
+
 def run_registration_eval(cfg, params, scans, gt_pairs, feature_dir):
     """Forward every GT pair, dump test_registration-schema npz artifacts,
-    return per-pair metric dicts."""
+    return per-pair metric dicts.  The jitted pair function is cached per
+    config so repeated mid-training evals reuse one compiled program."""
     import jax
     import jax.numpy as jnp
 
@@ -137,7 +141,6 @@ def run_registration_eval(cfg, params, scans, gt_pairs, feature_dir):
 
     model = LCRNet(cfg)
 
-    @jax.jit
     def run_pair(params, points, masks, transform):
         pyramid = build_batch_pyramid(points, masks, cfg)
         out = model.apply(params, pyramid, transform, training=False)
@@ -164,6 +167,8 @@ def run_registration_eval(cfg, params, scans, gt_pairs, feature_dir):
             "gt_node_corr_valid": out["gt_node_corr"].valid,
         }
         return keep, metrics
+
+    run_pair = _EVAL_FN_CACHE.setdefault(("run_pair", cfg), jax.jit(run_pair))
 
     os.makedirs(feature_dir, exist_ok=True)
     cap = cfg.shapes.points[0]
@@ -196,10 +201,11 @@ def compute_descriptors(cfg, params, scans):
 
     model = LCRNet(cfg)
 
-    @jax.jit
     def describe(params, points, masks):
         pyramid = build_batch_pyramid(points, masks, cfg)
         return model.apply(params, pyramid, method=LCRNet.describe)
+
+    describe = _EVAL_FN_CACHE.setdefault(("describe", cfg), jax.jit(describe))
 
     cap = cfg.shapes.points[0]
     descs = {}
@@ -294,6 +300,7 @@ def main():
                 for k, v in m.items():
                     events.add_scalar(k, v, i + 1)
             if args.eval_every and (i + 1) % args.eval_every == 0 and (i + 1) < args.steps:
+                save_snapshot(osp.join(args.output, "snapshots"), i + 1, state.params, None)
                 evals = run_registration_eval(
                     cfg, state.params, scans, gt_pairs, osp.join(args.output, "features"))
                 for e in evals:
