@@ -227,14 +227,22 @@ def triplet_loss(anc_global, pos_global, neg_global, margin: float) -> jnp.ndarr
 
 
 def isotropic_transform_error(gt_transform, est_transform):
-    """RRE (deg) and RTE (m) (reference `modules/registration/metrics.py`)."""
+    """RRE (deg) and RTE (m) (reference `modules/registration/metrics.py`).
+
+    The rotation error uses the chord form 2*arcsin(||Re - Rg||_F / (2*sqrt 2))
+    instead of the reference's arccos((tr - 1)/2): both are exact for
+    rotations, but arccos near 1 has an f32 precision floor of ~0.1 deg
+    (errors quantize to 0 or a few degrees), while arcsin near 0 is stable —
+    sub-0.01-degree errors survive in float32."""
     gt_r = gt_transform[..., :3, :3]
     est_r = est_transform[..., :3, :3]
     gt_t = gt_transform[..., :3, 3]
     est_t = est_transform[..., :3, 3]
-    trace = jnp.trace(jnp.swapaxes(est_r, -1, -2) @ gt_r, axis1=-2, axis2=-1)
-    x = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
-    rre = jnp.degrees(jnp.arccos(x))
+    chord = jnp.linalg.norm(
+        (est_r - gt_r).reshape(gt_r.shape[:-2] + (9,)), axis=-1
+    )
+    x = jnp.clip(chord / (2.0 * jnp.sqrt(2.0)), 0.0, 1.0)
+    rre = jnp.degrees(2.0 * jnp.arcsin(x))
     rte = jnp.linalg.norm(gt_t - est_t, axis=-1)
     return rre, rte
 
