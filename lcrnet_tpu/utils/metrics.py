@@ -22,9 +22,13 @@ def apply_transform_np(points: np.ndarray, transform: np.ndarray) -> np.ndarray:
 
 
 def relative_rotation_error(gt_r: np.ndarray, est_r: np.ndarray) -> float:
-    """Geodesic rotation error in degrees (acos-trace formulation)."""
-    x = 0.5 * (np.trace(est_r.T @ gt_r) - 1.0)
-    return float(np.degrees(np.arccos(np.clip(x, -1.0, 1.0))))
+    """Geodesic rotation error in degrees.
+
+    Chord form 2*arcsin(||Re - Rg||_F / (2*sqrt 2)): equal to the reference's
+    acos-trace formulation for exact rotations, but stable for small angles —
+    acos clips sub-1e-8 traces slightly above 1 straight to zero error."""
+    x = np.linalg.norm(est_r - gt_r) / (2.0 * np.sqrt(2.0))
+    return float(np.degrees(2.0 * np.arcsin(np.clip(x, 0.0, 1.0))))
 
 
 def relative_translation_error(gt_t: np.ndarray, est_t: np.ndarray) -> float:
