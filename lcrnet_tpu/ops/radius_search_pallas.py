@@ -35,11 +35,13 @@ def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2, fast_s
     window slice runs along the lane dimension (Mosaic-friendly); invalid
     supports carry PAD coordinates and fall out of the radius test.
 
-    fast_select runs the `limit` extraction passes on bf16 distances (2x
-    VPU lanes per register): distances are still COMPUTED in f32 (the
-    bf16-coordinate trap, NOTES.md), only the relative ordering of
-    near-equal neighbors (<~0.5% of r^2) can differ — an equally valid
-    nearest-`limit` truncation set.
+    fast_select packs (11-bit-quantized distance, 13-bit window index) into
+    one exact f32 integer (< 2^24): each extraction pass is then a single
+    min-reduce + one masked equality update — no per-pass argmin at all
+    (Mosaic's argmin lowering is f32-only, so a bf16 loop is not an
+    option).  Distances are still COMPUTED in f32; only the relative order
+    of neighbors within r^2/2048 of each other can differ — an equally
+    valid nearest-`limit` truncation set.
     """
     i = pl.program_id(0)
     ws = pl.multiple_of(ws_ref[i], 128)
@@ -60,24 +62,35 @@ def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2, fast_s
     block = blk.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
 
-    if fast_select:
-        # rescale in-radius entries into bf16's comfortable range; the BIG
-        # sentinel must NOT be scaled (validity checks vals >= _BIG/2)
-        d = jnp.where(d2 <= r2, d2 * (1.0 / r2), _BIG).astype(jnp.bfloat16)
-        big = jnp.bfloat16(_BIG)
-    else:
-        d = d2
-        big = _BIG
-
-    # static unroll: Mosaic requires static (or 128-aligned) store columns
     idx_cols = []
     val_cols = []
-    for _ in range(limit):
-        bv = jnp.min(d, axis=1)
-        best = jnp.argmin(d, axis=1).astype(jnp.int32)
-        d = jnp.where(iota == best[:, None], big, d)
-        idx_cols.append((best + ws)[:, None])
-        val_cols.append(bv.astype(jnp.float32)[:, None])
+    if fast_select:
+        assert window <= 8192, "packed index field is 13 bits"
+        # pack: p = quantized_distance * 8192 + window_index, exact in f32
+        # (max 2047*8192 + 8191 < 2^24); out-of-radius entries stay _BIG
+        qd = jnp.floor(d2 * (2047.0 / r2))
+        packed = jnp.where(
+            d2 <= r2, qd * 8192.0 + iota.astype(jnp.float32), _BIG
+        )
+        # static unroll: Mosaic requires static store columns
+        for _ in range(limit):
+            bv = jnp.min(packed, axis=1)                     # (block,)
+            # the packed value uniquely identifies one element (index bits)
+            packed = jnp.where(packed == bv[:, None], _BIG, packed)
+            qv = jnp.floor(bv * (1.0 / 8192.0))
+            best = (bv - qv * 8192.0).astype(jnp.int32)
+            ok = bv < 2.0e7  # any real packed value < 2^24 << _BIG
+            idx_cols.append(jnp.where(ok, best + ws, 0)[:, None])
+            # reconstruct an approximate d2 for the validity contract
+            val_cols.append(jnp.where(ok, qv * (r2 / 2047.0), _BIG)[:, None])
+    else:
+        d = d2
+        for _ in range(limit):
+            bv = jnp.min(d, axis=1)
+            best = jnp.argmin(d, axis=1).astype(jnp.int32)
+            d = jnp.where(iota == best[:, None], _BIG, d)
+            idx_cols.append((best + ws)[:, None])
+            val_cols.append(bv[:, None])
     idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
     val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
