@@ -42,6 +42,9 @@ _BANDED_SEARCH_MIN_SUPPORT = 4096
 
 
 def _search(q, s, qm, sm, radius, limit, fast_select=False):
+    # the packed extraction reorders near-ties (r^2/2048); honor it only on
+    # TPU so CPU tests stay bit-exact against the numpy oracles
+    fast_select = fast_select and jax.default_backend() == "tpu"
     if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT and s.shape[1] % 128 == 0:
         if jax.default_backend() == "tpu" and limit <= 96:
             from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
@@ -52,7 +55,7 @@ def _search(q, s, qm, sm, radius, limit, fast_select=False):
         from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
 
         return radius_search_banded_batched(q, s, qm, sm, radius, limit)
-    return radius_search_batched(q, s, qm, sm, radius, limit)
+    return radius_search_batched(q, s, qm, sm, radius, limit, fast_select=fast_select)
 
 
 class Pyramid(NamedTuple):

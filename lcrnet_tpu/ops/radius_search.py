@@ -21,7 +21,7 @@ the reference) — gather-side code should use the mask, not the sentinel.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,12 +85,14 @@ def radius_search_batched(
     radius: float,
     limit: int,
     block_size: int = 2048,
+    fast_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched radius search over (B, Q, 3) queries and (B, S, 3) supports.
 
     All clouds' query blocks are flattened into ONE lax.map with the per-block
     support selected by dynamic index — vmapping the single-cloud search over
     the cloud axis compiles to a ~4x slower program on TPU.
+    fast_select: packed single-min extraction passes (see _select_nearest).
     """
     b, q, _ = q_points.shape
     s = s_points.shape[1]
@@ -110,7 +112,7 @@ def radius_search_batched(
         d2 = pairwise_distance(blk, sup)
         d2 = jnp.where(inv[None, :], _BIG, d2)
         d2 = jnp.where(d2 <= r2, d2, _BIG)
-        return _select_nearest(d2, limit)
+        return _select_nearest(d2, limit, packed_threshold=r2 if fast_select else None)
 
     idx, valid = lax.map(one_block, (qp, cloud_of_block))
     idx = idx.reshape(b, nb * block, limit)[:, :q]
@@ -120,14 +122,39 @@ def radius_search_batched(
     return idx, valid
 
 
-def _select_nearest(d2: jnp.ndarray, limit: int):
+def _select_nearest(d2: jnp.ndarray, limit: int, packed_threshold: Optional[float] = None):
     """Nearest-`limit` selection per row of a BIG-masked distance block.
 
-    Iterated argmin extraction (limit min-reduction passes) beats XLA's
-    sort-based top_k ~2x for small limits and emits nearest-first order;
-    falls back to top_k for large limits.
+    Iterated extraction (limit min-reduction passes) beats XLA's sort-based
+    top_k for table-width limits and emits nearest-first order.  When
+    `packed_threshold` (the radius^2 that bounds real entries) is given,
+    each pass is a single min-reduce over a packed (quantized d2, index)
+    f32 — no argmin pass at all (same trick as the Pallas kernel's
+    fast_select; entries within threshold/2048 of each other may swap).
     """
     rows, width = d2.shape
+    if packed_threshold is not None and width <= 8192:
+        iota = jnp.arange(width, dtype=jnp.float32)[None, :]
+        qd = jnp.floor(d2 * (2047.0 / packed_threshold))
+        packed = jnp.where(d2 < _BIG / 2, qd * 8192.0 + iota, _BIG)
+
+        def extract(i, carry):
+            p, sels, vals = carry
+            bv = jnp.min(p, axis=1)
+            p = jnp.where(p == bv[:, None], _BIG, p)
+            qv = jnp.floor(bv * (1.0 / 8192.0))
+            best = (bv - qv * 8192.0).astype(jnp.int32)
+            ok = bv < 2.0e7
+            sels = sels.at[:, i].set(jnp.where(ok, best, 0))
+            vals = vals.at[:, i].set(
+                jnp.where(ok, qv * (packed_threshold / 2047.0), _BIG)
+            )
+            return p, sels, vals
+
+        sels0 = jnp.zeros((rows, limit), jnp.int32)
+        vals0 = jnp.zeros((rows, limit), d2.dtype)
+        _, sel, vals = lax.fori_loop(0, limit, extract, (packed, sels0, vals0))
+        return sel, vals < _BIG / 2
     if limit <= 48:
         iota = jnp.arange(width, dtype=jnp.int32)[None, :]
 

@@ -53,3 +53,35 @@ def test_banded_cross_sets(rng):
     for b in range(2):
         for i in range(0, 400, 7):
             assert set(di[b, i][dv[b, i]].tolist()) == set(bi[b, i][bv[b, i]].tolist()), (b, i)
+
+
+def test_packed_select_nearest_matches_exact(rng):
+    """The packed single-min extraction (fast_select dense path) picks the
+    same neighbor sets as the exact path up to quantization ties."""
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.ops.radius_search import radius_search_batched
+
+    pts = rng.uniform(-20, 20, (2, 1024, 3)).astype(np.float32)
+    mask = np.ones((2, 1024), bool)
+    radius, limit = 2.5, 20
+    i_exact, v_exact = radius_search_batched(
+        jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(mask),
+        radius, limit)
+    i_fast, v_fast = radius_search_batched(
+        jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(mask),
+        radius, limit, fast_select=True)
+    i_exact, v_exact, i_fast, v_fast = map(np.asarray, (i_exact, v_exact, i_fast, v_fast))
+    mism = 0
+    for b in range(2):
+        for q in range(0, 1024, 17):
+            se = set(i_exact[b, q][v_exact[b, q]].tolist())
+            sf = set(i_fast[b, q][v_fast[b, q]].tolist())
+            if se == sf:
+                continue
+            mism += 1
+            d2 = np.sum((pts[b] - pts[b, q]) ** 2, axis=1)
+            boundary = max(d2[list(se)]) if se else 0.0
+            for a in se ^ sf:
+                assert abs(d2[a] - boundary) < radius**2 / 1024, (b, q, a)
+    assert mism <= 6
