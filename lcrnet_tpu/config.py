@@ -36,6 +36,12 @@ class ShapeBudget:
     # (data/calibrate.py on /root/reference/demo/data_demo, 2026-08; the
     # reference's own calibration lands at ~[64, 65, 74, 80])
     neighbor_limits: Tuple[int, ...] = (68, 63, 68, 62)
+    # per-stage banded-search x-window widths (selection work scales with
+    # the window).  Calibrated on the demo scans: worst-case in-slab support
+    # count incl. the merged coarse sub-queries is (2619, 1350, 984, 498);
+    # defaults carry 15-35% slack and 128-alignment.  Overflow truncates
+    # farthest-in-x neighbors (the calibrated-limit truncation philosophy).
+    search_windows: Tuple[int, ...] = (3072, 1792, 1408, 896)
     # width of the subsampling (coarse<-fine) pooling tables per transition
     max_nodes: int = 256           # node budget after NMS (per cloud)
     # max coarse (node) correspondences; the dustbin-mode union of row/col

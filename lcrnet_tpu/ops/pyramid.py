@@ -41,7 +41,7 @@ from lcrnet_tpu.ops.radius_search import (
 _BANDED_SEARCH_MIN_SUPPORT = 4096
 
 
-def _search(q, s, qm, sm, radius, limit, fast_select=False):
+def _search(q, s, qm, sm, radius, limit, fast_select=False, window=4224):
     # the packed extraction reorders near-ties (r^2/2048); honor it only on
     # TPU so CPU tests stay bit-exact against the numpy oracles
     fast_select = fast_select and jax.default_backend() == "tpu"
@@ -50,11 +50,11 @@ def _search(q, s, qm, sm, radius, limit, fast_select=False):
             from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
 
             return radius_search_banded_pallas(
-                q, s, qm, sm, radius, limit, fast_select=fast_select
+                q, s, qm, sm, radius, limit, fast_select=fast_select, window=window
             )
         from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
 
-        return radius_search_banded_batched(q, s, qm, sm, radius, limit)
+        return radius_search_banded_batched(q, s, qm, sm, radius, limit, window=window)
     return radius_search_batched(q, s, qm, sm, radius, limit, fast_select=fast_select)
 
 
@@ -79,10 +79,13 @@ def build_pyramid_batched(
     init_voxel_size: float,
     init_radius: float,
     fast_select: bool = False,
+    search_windows=None,
 ) -> Pyramid:
     """Build pyramids for (B, N0, 3) padded clouds in one pass."""
     num_stages = len(stage_capacities)
     assert len(neighbor_limits) == num_stages
+    if search_windows is None:
+        search_windows = (4224,) * num_stages
 
     pts = [points]
     msks = [masks]
@@ -108,7 +111,7 @@ def build_pyramid_batched(
             n_i = pts[i].shape[1]
             q = jnp.concatenate([pts[i], pts[i + 1]], axis=1)
             qm = jnp.concatenate([msks[i], msks[i + 1]], axis=1)
-            idx, val = _search(q, pts[i], qm, msks[i], radius, neighbor_limits[i], fast_select)
+            idx, val = _search(q, pts[i], qm, msks[i], radius, neighbor_limits[i], fast_select, search_windows[i])
             neighbors.append(idx[:, :n_i])
             neighbor_masks.append(val[:, :n_i])
             subsampling.append(idx[:, n_i:])
@@ -119,7 +122,7 @@ def build_pyramid_batched(
             upsampling.append(nidx[..., None])
             upsampling_masks.append(nval[..., None])
         else:
-            idx, val = _search(pts[i], pts[i], msks[i], msks[i], radius, neighbor_limits[i], fast_select)
+            idx, val = _search(pts[i], pts[i], msks[i], msks[i], radius, neighbor_limits[i], fast_select, search_windows[i])
             neighbors.append(idx)
             neighbor_masks.append(val)
         radius *= 2.0

@@ -28,6 +28,7 @@ def build_batch_pyramid(points: jnp.ndarray, masks: jnp.ndarray, cfg: LCRNetConf
         cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius,
         fast_select=cfg.fast_select,
+        search_windows=cfg.shapes.search_windows,
     )
 
 
