@@ -21,7 +21,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
-    ap.add_argument("--seq", type=int, default=8)
+    ap.add_argument("--family", default="kitti",
+                    choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
+    ap.add_argument("--seq", default="8", help="sequence id (int or session name)")
     ap.add_argument("--pair_file", required=True)
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--feature_dir", default="output/features/registration")
@@ -32,7 +34,7 @@ def main():
     import jax.numpy as jnp
 
     from lcrnet_tpu.config import make_cfg
-    from lcrnet_tpu.data.loader import make_kitti_registration_dataset
+    from lcrnet_tpu.data.loader import make_registration_dataset
     from lcrnet_tpu.engine.checkpoint import load_snapshot
     from lcrnet_tpu.engine.meters import SummaryBoard, Timer
     from lcrnet_tpu.models.losses import evaluate_pair
@@ -44,7 +46,9 @@ def main():
     if args.snapshot:
         params = load_snapshot(args.snapshot, template={"params": params})["params"]
 
-    dataset = make_kitti_registration_dataset(cfg, args.dataset_root, args.seq, args.pair_file)
+    seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+    dataset = make_registration_dataset(
+        cfg, args.family, args.dataset_root, seq, args.pair_file)
     os.makedirs(args.feature_dir, exist_ok=True)
 
     model = LCRNet(cfg)
@@ -91,7 +95,10 @@ def main():
         keep = {k: np.asarray(v) for k, v in keep.items()}
         keep["transform"] = sample["transform"]
         np.savez_compressed(
-            osp.join(args.feature_dir, f'{args.seq:02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'),
+            osp.join(args.feature_dir,
+                     f'{int(seq):02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'
+                     if str(seq).isdigit() or isinstance(seq, int)
+                     else f'{seq}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'),
             **keep,
         )
         board.update_from_dict({k: float(v) for k, v in metrics.items()})

@@ -165,3 +165,23 @@ def make_kitti_registration_dataset(
     source = KittiScanSource(dataset_root, seq, cfg.backbone.init_voxel_size)
     pairs = load_pair_text(pair_file)
     return RegistrationPairDataset(source, pairs, cfg, augment=augment)
+
+
+def make_registration_dataset(
+    cfg: LCRNetConfig,
+    family: str,
+    dataset_root: str,
+    seq,
+    pair_file: str,
+    augment: bool = False,
+) -> RegistrationPairDataset:
+    """Family-generic registration dataset (kitti / kitti360 / ford /
+    apollo / mulran — reference `datasets/registration/*/dataset.py`).
+    The pair-file format (`anc pos r00..r23` rows, or the loop npz) is
+    shared across families; only the scan source differs."""
+    from lcrnet_tpu.data.datasets import make_sequence
+    from lcrnet_tpu.data.kitti import load_pair_npz
+
+    source = make_sequence(family, dataset_root, seq, cfg.backbone.init_voxel_size)
+    pairs = load_pair_npz(pair_file) if pair_file.endswith(".npz") else load_pair_text(pair_file)
+    return RegistrationPairDataset(source, pairs, cfg, augment=augment)
