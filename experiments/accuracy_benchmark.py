@@ -235,6 +235,10 @@ def main():
     # unlearnable for a frozen encoder on 4 places (measured: triplet loss
     # pinned at 2*margin); +-90 deg covers the eval pair's real 67 deg yaw
     ap.add_argument("--desc_yaw_deg", type=float, default=90.0)
+    # online = encoder trains too (the reference's LD online mode, a separate
+    # LD model like `trainval_loop_detection.py`); default frozen = NetVLAD
+    # only on the shared registration encoder (offline/half analogue)
+    ap.add_argument("--desc_mode", choices=["frozen", "online"], default="frozen")
     ap.add_argument("--eval_every", type=int, default=500)
     ap.add_argument("--output", default="output/accuracy_r02")
     ap.add_argument("--snapshot", default=None, help="resume registration params")
@@ -333,10 +337,11 @@ def main():
         from lcrnet_tpu.data.kitti import pad_points, yaw_rotation
 
         desc_cfg = cfg.replace(optim=cfg.optim.__class__(optimizer="adan", lr=args.desc_lr))
-        state = create_train_state(desc_cfg, {"params": params["params"]},
-                                   steps_per_epoch=100,
-                                   trainable_subtrees=("netvlad",))
-        dstep = make_descriptor_train_step(desc_cfg, num_pos=1, num_neg=2, frozen=True)
+        frozen = args.desc_mode == "frozen"
+        state = create_train_state(
+            desc_cfg, {"params": params["params"]}, steps_per_epoch=100,
+            trainable_subtrees=("netvlad",) if frozen else None)
+        dstep = make_descriptor_train_step(desc_cfg, num_pos=1, num_neg=2, frozen=frozen)
         # triplets among training scans only: the two train-scan loop pairs
         triplets = [(3528, 560, (26, 4481)), (560, 3528, (26, 4481)),
                     (4481, 26, (560, 3528)), (26, 4481, (560, 3528))]
