@@ -282,17 +282,25 @@ def main():
 
     # ---------------- stage 1: registration training ----------------
     if not args.skip_train and args.steps > 0:
+        from lcrnet_tpu.data.loader import prefetch
+
         state = create_train_state(cfg, {"params": params["params"]}, steps_per_epoch=1000)
         step = make_train_step(cfg)
         key = jax.random.PRNGKey(args.seed)
+
+        def sample_gen():
+            # host-side sample synthesis overlaps the device step (the raw
+            # loop is host-bound: ~0.37 s of numpy crop/augment/pad per step)
+            for _ in range(args.steps):
+                rp, rm, sp, sm, t = make_train_sample(scans, rng, cfg, gt_pairs_train)
+                yield PairBatch(
+                    jnp.asarray(np.stack([rp, sp])[None]),
+                    jnp.asarray(np.stack([rm, sm])[None]),
+                    jnp.asarray(t[None]),
+                )
+
         t0 = time.time()
-        for i in range(args.steps):
-            rp, rm, sp, sm, t = make_train_sample(scans, rng, cfg, gt_pairs_train)
-            batch = PairBatch(
-                jnp.asarray(np.stack([rp, sp])[None]),
-                jnp.asarray(np.stack([rm, sm])[None]),
-                jnp.asarray(t[None]),
-            )
+        for i, batch in enumerate(prefetch(sample_gen(), depth=3)):
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             if (i + 1) % 25 == 0:
@@ -348,23 +356,30 @@ def main():
         cap = cfg.shapes.points[0]
         noise = cfg.train.augmentation_noise
         yaw_max = np.radians(args.desc_yaw_deg)
+
+        def desc_gen():
+            for _i in range(args.desc_steps):
+                anc, pos, negs = triplets[rng.integers(len(triplets))]
+                group_frames = [anc, pos, *negs]
+                pts = np.zeros((1, 4, cap, 3), np.float32)
+                msk = np.zeros((1, 4, cap), bool)
+                for g, f in enumerate(group_frames):
+                    # independent bounded yaw + sector crop + uniform noise
+                    # per group member: view diversity without demanding full
+                    # rotation invariance from a frozen encoder
+                    rot = yaw_rotation(rng.uniform(-yaw_max, yaw_max))
+                    p = sector_crop(scans[f], rng, width_deg=rng.uniform(280, 360))
+                    p = p @ rot.T
+                    p = p + (rng.random(p.shape) - 0.5).astype(np.float32) * noise
+                    pp, mm = pad_points(p.astype(np.float32), cap, cfg.train.point_limit, rng)
+                    pts[0, g], msk[0, g] = pp, mm
+                yield jnp.asarray(pts), jnp.asarray(msk)
+
+        from lcrnet_tpu.data.loader import prefetch as _prefetch
+
         t0 = time.time()
-        for i in range(args.desc_steps):
-            anc, pos, negs = triplets[rng.integers(len(triplets))]
-            group_frames = [anc, pos, *negs]
-            pts = np.zeros((1, 4, cap, 3), np.float32)
-            msk = np.zeros((1, 4, cap), bool)
-            for g, f in enumerate(group_frames):
-                # independent bounded yaw + sector crop + uniform noise per
-                # group member: view diversity without demanding full
-                # rotation invariance from a frozen encoder
-                rot = yaw_rotation(rng.uniform(-yaw_max, yaw_max))
-                p = sector_crop(scans[f], rng, width_deg=rng.uniform(280, 360))
-                p = p @ rot.T
-                p = p + (rng.random(p.shape) - 0.5).astype(np.float32) * noise
-                pp, mm = pad_points(p.astype(np.float32), cap, cfg.train.point_limit, rng)
-                pts[0, g], msk[0, g] = pp, mm
-            state, metrics = dstep(state, jnp.asarray(pts), jnp.asarray(msk))
+        for i, (pts_j, msk_j) in enumerate(_prefetch(desc_gen(), depth=3)):
+            state, metrics = dstep(state, pts_j, msk_j)
             if (i + 1) % 50 == 0:
                 print(f"[desc {i + 1}/{args.desc_steps}] loss={float(metrics['loss']):.4f} "
                       f"({(i + 1) / (time.time() - t0):.2f} steps/s)", flush=True)

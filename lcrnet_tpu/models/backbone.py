@@ -44,6 +44,10 @@ class KPEncoder(nn.Module):
     init_radius: float
     init_sigma: float
     group_norm: int
+    # LCRNet feeds the mask column as the input feature (reference feeds
+    # constant ones, `backbone4.py:60`); the first conv then skips its
+    # neighbor-feature gather (see KPConv.ones_features)
+    ones_features: bool = False
 
     @nn.compact
     def __call__(self, feats, pyramid: Pyramid, norm_clouds: int = 2):
@@ -57,7 +61,8 @@ class KPEncoder(nn.Module):
         sub, subm = pyramid.subsampling, pyramid.subsampling_masks
 
         feats_list = []
-        x = ConvBlock(self.input_dim, d, ks, r, sg, gn)(feats, p[0], p[0], nb[0], nbm[0], m[0], norm_clouds)
+        x = ConvBlock(self.input_dim, d, ks, r, sg, gn, ones_features=self.ones_features)(
+            feats, p[0], p[0], nb[0], nbm[0], m[0], norm_clouds)
         x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0], norm_clouds)
         feats_list.append(x)
 

@@ -64,6 +64,14 @@ class KPConv(nn.Module):
     sigma: float
     use_bias: bool = True
     query_block: int = 4096
+    # the first backbone conv consumes the mask-as-feature ones column
+    # (reference feeds a constant-1 feature, `backbone4.py:60`): the neighbor
+    # feature gather then equals the neighbor mask, so it can be skipped
+    # entirely — sum the kernel influences instead.  Measured 20 ms/forward:
+    # a 1-channel scattered gather is element-granular, the slowest access
+    # pattern on TPU.  Exact same math (influences are already zero at
+    # masked neighbors via the PAD offset).
+    ones_features: bool = False
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks):
@@ -89,6 +97,8 @@ class KPConv(nn.Module):
             else None
         )
 
+        if self.ones_features:
+            assert self.in_channels == 1, "ones_features requires C_in == 1"
         b, m, h = neighbor_indices.shape
         n = s_points.shape[1]
         k = self.kernel_size
@@ -111,7 +121,6 @@ class KPConv(nn.Module):
         def one_block(args):
             bqp, bidx, bmsk, cid = args
             sp = lax.dynamic_index_in_dim(s_points, cid, axis=0, keepdims=False)
-            feats = lax.dynamic_index_in_dim(s_feats, cid, axis=0, keepdims=False)
             ci = jnp.clip(bidx, 0, n - 1)
             nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
             rel = nb_pts - bqp[:, None, :]
@@ -131,14 +140,20 @@ class KPConv(nn.Module):
             d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
             infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,H,K)
 
-            nb_feats = feats[ci.reshape(-1)].reshape(block, h, c_in)
-            nb_feats = jnp.where(bmsk[..., None], nb_feats, 0.0)
-            # (block, K, H) @ (block, H, C_in) -> (block, K, C_in)
-            weighted = lax.dot_general(
-                jnp.swapaxes(infl, 1, 2), nb_feats,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+            if self.ones_features:
+                # neighbor features == neighbor mask; infl is already zero at
+                # masked neighbors, so the contraction is a plain reduction
+                weighted = jnp.sum(infl, axis=1)[..., None]  # (block, K, 1)
+            else:
+                feats = lax.dynamic_index_in_dim(s_feats, cid, axis=0, keepdims=False)
+                nb_feats = feats[ci.reshape(-1)].reshape(block, h, c_in)
+                nb_feats = jnp.where(bmsk[..., None], nb_feats, 0.0)
+                # (block, K, H) @ (block, H, C_in) -> (block, K, C_in)
+                weighted = lax.dot_general(
+                    jnp.swapaxes(infl, 1, 2), nb_feats,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
             out = jnp.dot(
                 weighted.reshape(block, k * c_in), w_flat,
                 preferred_element_type=jnp.float32,
@@ -220,12 +235,14 @@ class ConvBlock(nn.Module):
     radius: float
     sigma: float
     group_norm: int
+    ones_features: bool = False
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks, q_mask,
                  norm_clouds: int = 1):
         x = KPConv(
-            self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma
+            self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
+            ones_features=self.ones_features,
         )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks)
         x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, q_mask, norm_clouds)
         return nn.leaky_relu(x, 0.1)

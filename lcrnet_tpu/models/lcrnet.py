@@ -59,6 +59,8 @@ class LCRNet(nn.Module):
             init_radius=c.backbone.init_radius,
             init_sigma=c.backbone.init_sigma,
             group_norm=c.backbone.group_norm,
+            # both forward paths feed the mask column as the feature
+            ones_features=c.backbone.input_dim == 1,
         )
         self.transformer = ThDRoFormer(
             input_dim=c.transformer.input_dim,

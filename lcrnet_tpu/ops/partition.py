@@ -53,12 +53,29 @@ def point_to_node_partition(
         > 0
     )
 
-    # patch table: only distances of points assigned to this node survive
-    assign = point_to_node[None, :] == jnp.arange(m, dtype=jnp.int32)[:, None]  # (M, N)
-    patch_sq = jnp.where(assign, sq, _BIG)
-    neg, knn_idx = lax.top_k(-patch_sq, point_limit)  # nearest-first
-    knn_masks = neg > -_BIG / 2
-    knn_idx = jnp.where(knn_masks, knn_idx.astype(jnp.int32), n)
+    # patch extraction WITHOUT a per-node top-k: a (M, N) masked top_k
+    # lowers to a full stable sort of every node's N-wide row (11 ms/pair on
+    # TPU at 256x20480).  Instead order the N points once by
+    # (assigned node, distance) — two stable (N,) argsorts — after which
+    # each node's patch is a contiguous run: run starts come from a
+    # vectorized binary search and the table is a small (M, K) gather.
+    # Identical semantics: distance-ascending within the patch, ties by
+    # original point index (top_k's tie rule), capped at K nearest.
+    d_assigned = jnp.min(sq, axis=0)  # distance to the assigned node
+    # points with no reachable valid node (all-BIG column) must not enter
+    # any patch — route them to the sentinel segment m
+    p2n_eff = jnp.where(d_assigned < _BIG / 2, point_to_node, m)
+    ord_d = jnp.argsort(jnp.where(point_mask, d_assigned, _BIG), stable=True)
+    ord_n = jnp.argsort(p2n_eff[ord_d], stable=True)
+    order = ord_d[ord_n].astype(jnp.int32)  # grouped by node, nearest-first
+    sorted_p2n = p2n_eff[order]
+
+    starts = jnp.searchsorted(sorted_p2n, jnp.arange(m + 1, dtype=jnp.int32), side="left")
+    counts = starts[1:] - starts[:m]  # (M,)
+    pos = starts[:m, None] + jnp.arange(point_limit, dtype=jnp.int32)[None, :]
+    knn_masks = jnp.arange(point_limit, dtype=jnp.int32)[None, :] < counts[:, None]
+    knn_idx = order[jnp.clip(pos, 0, n - 1)]
+    knn_idx = jnp.where(knn_masks, knn_idx, n)
     return point_to_node, node_occupied, knn_idx, knn_masks
 
 

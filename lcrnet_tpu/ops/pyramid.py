@@ -45,16 +45,24 @@ def _search(q, s, qm, sm, radius, limit, fast_select=False, window=4224):
     # the packed extraction reorders near-ties (r^2/2048); honor it only on
     # TPU so CPU tests stay bit-exact against the numpy oracles
     fast_select = fast_select and jax.default_backend() == "tpu"
+    # pyramid stages are kept in canonical x-sorted order (pads at the
+    # tail), so the banded searches skip their argsorts, the support-order
+    # remap gather and the query un-permute — the dominant non-kernel costs
+    # (~37 ms/pair measured).  Stage capacities are multiples of the block
+    # sizes, so concatenated (self + subsampling) query parts stay aligned.
     if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT and s.shape[1] % 128 == 0:
         if jax.default_backend() == "tpu" and limit <= 96:
             from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
 
             return radius_search_banded_pallas(
-                q, s, qm, sm, radius, limit, fast_select=fast_select, window=window
+                q, s, qm, sm, radius, limit, fast_select=fast_select, window=window,
+                presorted=True,
             )
         from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
 
-        return radius_search_banded_batched(q, s, qm, sm, radius, limit, window=window)
+        return radius_search_banded_batched(
+            q, s, qm, sm, radius, limit, window=window, presorted=True
+        )
     return radius_search_batched(q, s, qm, sm, radius, limit, fast_select=fast_select)
 
 
@@ -87,13 +95,27 @@ def build_pyramid_batched(
     if search_windows is None:
         search_windows = (4224,) * num_stages
 
-    pts = [points]
-    msks = [masks]
+    def sort_by_x(p, m):
+        """Canonical stage order: x-ascending, pads at the tail.  Point ORDER
+        is an internal pyramid convention (all consumers are index-table- or
+        coordinate-based); sorting once per stage lets every banded search
+        run in presorted mode and makes neighbor gathers band-local."""
+        key = jnp.where(m, p[..., 0], 1.0e9)
+        order = jnp.argsort(key, axis=-1).astype(jnp.int32)
+        return (
+            jnp.take_along_axis(p, order[..., None], axis=1),
+            jnp.take_along_axis(m, order, axis=-1),
+        )
+
+    p0, m0 = sort_by_x(points, masks)
+    pts = [p0]
+    msks = [m0]
     voxel = init_voxel_size * 2.0
     for i in range(1, num_stages):
         p, m = jax.vmap(
             lambda a, b, voxel=voxel, cap=stage_capacities[i]: grid_subsample(a, b, voxel, cap)
         )(pts[-1], msks[-1])
+        p, m = sort_by_x(p, m)
         pts.append(p)
         msks.append(m)
         voxel *= 2.0

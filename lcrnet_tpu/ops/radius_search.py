@@ -288,6 +288,7 @@ def radius_search_banded_batched(
     limit: int,
     block_size: int = 2048,
     window: int = 4096,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded radius search: sort both sides by x, then each query block
     distance-checks only a contiguous window of x-sorted supports (every
@@ -299,23 +300,34 @@ def radius_search_banded_batched(
     window overflow (more than `window` supports within the block's x-span
     + 2 radius — an extremely dense x-slab) drops the farthest-x surplus,
     mirroring the reference's neighbor-limit truncation philosophy.
+
+    presorted: both sides already x-ascending with pads at the tail (the
+    canonical pyramid-stage order); skips the argsorts, remap and
+    un-permute.  Multi-part query concatenations must be block-aligned.
     """
     b, q, _ = q_points.shape
     s = s_points.shape[1]
     r2 = radius * radius
     w = min(window, s)
 
-    # sort supports and queries by x (invalid rows carry PAD coords -> tail)
-    qx = jnp.where(q_mask, q_points[..., 0], 1.0e9)
-    sx = jnp.where(s_mask, s_points[..., 0], 1.0e9)
-    q_order = jnp.argsort(qx, axis=-1).astype(jnp.int32)       # (B, Q)
-    s_order = jnp.argsort(sx, axis=-1).astype(jnp.int32)       # (B, S)
-    q_sorted = jnp.take_along_axis(q_points, q_order[..., None], axis=1)
-    s_sorted = jnp.take_along_axis(s_points, s_order[..., None], axis=1)
-    s_sorted_x = jnp.take_along_axis(sx, s_order, axis=-1)
-    s_sorted_invalid = jnp.logical_not(
-        jnp.take_along_axis(s_mask, s_order, axis=-1)
-    )
+    if presorted:
+        q_order = None
+        q_sorted = q_points
+        s_sorted = s_points
+        s_sorted_x = jnp.where(s_mask, s_points[..., 0], 1.0e9)
+        s_sorted_invalid = jnp.logical_not(s_mask)
+    else:
+        # sort supports and queries by x (invalid rows carry PAD coords -> tail)
+        qx = jnp.where(q_mask, q_points[..., 0], 1.0e9)
+        sx = jnp.where(s_mask, s_points[..., 0], 1.0e9)
+        q_order = jnp.argsort(qx, axis=-1).astype(jnp.int32)       # (B, Q)
+        s_order = jnp.argsort(sx, axis=-1).astype(jnp.int32)       # (B, S)
+        q_sorted = jnp.take_along_axis(q_points, q_order[..., None], axis=1)
+        s_sorted = jnp.take_along_axis(s_points, s_order[..., None], axis=1)
+        s_sorted_x = jnp.take_along_axis(sx, s_order, axis=-1)
+        s_sorted_invalid = jnp.logical_not(
+            jnp.take_along_axis(s_mask, s_order, axis=-1)
+        )
 
     block = min(block_size, q)
     pad = (-q) % block
@@ -330,7 +342,6 @@ def radius_search_banded_batched(
         ssx = lax.dynamic_index_in_dim(s_sorted_x, cid, axis=0, keepdims=False)
         ssp = lax.dynamic_index_in_dim(s_sorted, cid, axis=0, keepdims=False)
         sinv = lax.dynamic_index_in_dim(s_sorted_invalid, cid, axis=0, keepdims=False)
-        sord = lax.dynamic_index_in_dim(s_order, cid, axis=0, keepdims=False)
 
         x_lo = blk[0, 0] - radius  # block is x-sorted: first row has min x
         # lower bound of x_lo in sorted support x
@@ -347,25 +358,32 @@ def radius_search_banded_batched(
 
         win_pts = lax.dynamic_slice(ssp, (ws, 0), (w, 3))
         win_inv = lax.dynamic_slice(sinv, (ws,), (w,))
-        win_src = lax.dynamic_slice(sord, (ws,), (w,))  # original indices
 
         d2 = pairwise_distance(blk, win_pts)
         d2 = jnp.where(win_inv[None, :], _BIG, d2)
         d2 = jnp.where(d2 <= r2, d2, _BIG)
         sel, ok = _select_nearest(d2, limit)
-        idx = win_src[sel.reshape(-1)].reshape(block, limit)
+        if presorted:
+            idx = ws + sel  # support order IS the caller's order
+        else:
+            sord = lax.dynamic_index_in_dim(s_order, cid, axis=0, keepdims=False)
+            win_src = lax.dynamic_slice(sord, (ws,), (w,))  # original indices
+            idx = win_src[sel.reshape(-1)].reshape(block, limit)
         return idx.astype(jnp.int32), ok
 
     idx_sorted, valid_sorted = lax.map(one_block, (qp, cloud_of_block))
     idx_sorted = idx_sorted.reshape(b, nb * block, limit)[:, :q]
     valid_sorted = valid_sorted.reshape(b, nb * block, limit)[:, :q]
 
-    # un-permute back to original query order
-    inv = jax.vmap(
-        lambda o: jnp.zeros((q,), jnp.int32).at[o].set(jnp.arange(q, dtype=jnp.int32))
-    )(q_order)
-    idx = jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
-    valid = jnp.take_along_axis(valid_sorted, inv[..., None], axis=1)
+    if presorted:
+        idx, valid = idx_sorted, valid_sorted
+    else:
+        # un-permute back to original query order
+        inv = jax.vmap(
+            lambda o: jnp.zeros((q,), jnp.int32).at[o].set(jnp.arange(q, dtype=jnp.int32))
+        )(q_order)
+        idx = jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
+        valid = jnp.take_along_axis(valid_sorted, inv[..., None], axis=1)
     valid = jnp.logical_and(valid, q_mask[..., None])
     idx = jnp.where(valid, idx, s)
     return idx, valid

@@ -106,29 +106,42 @@ def radius_search_banded_pallas(
     window: int = 4224,
     interpret: bool = False,
     fast_select: bool = False,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Banded radius search with the fused Pallas selection kernel.
 
     Same contract as `radius_search_banded_batched`: (B, Q, limit) int32
     indices into each cloud's original support order + validity.
     fast_select: bf16 extraction passes (see `_kernel`).
+    presorted: both sides are already x-ascending with pad rows at the tail
+    (the canonical pyramid-stage order) — skips the two argsorts, the
+    support-order remap gather and the query un-permute, the dominant
+    non-kernel costs of this function (~37 ms/pair measured at KITTI scale).
+    For concatenated multi-part queries each part must be a multiple of
+    `block_size` so no block straddles parts.
     """
     b, q, _ = q_points.shape
     s = s_points.shape[1]
     r2 = radius * radius
     w = min(window, s)
     w = max((w // 128) * 128, 128)
-    assert s % 128 == 0, "support capacity must be a multiple of 128" 
+    assert s % 128 == 0, "support capacity must be a multiple of 128"
 
-    # x-sort both sides per cloud (pad rows -> tail)
-    qx = jnp.where(q_mask, q_points[..., 0], 1.0e9)
-    sx = jnp.where(s_mask, s_points[..., 0], 1.0e9)
-    q_order = jnp.argsort(qx, axis=-1).astype(jnp.int32)
-    s_order = jnp.argsort(sx, axis=-1).astype(jnp.int32)
-    q_sorted = jnp.take_along_axis(q_points, q_order[..., None], axis=1)
-    s_sorted = jnp.take_along_axis(s_points, s_order[..., None], axis=1)
-    s_sorted_x = jnp.take_along_axis(sx, s_order, axis=-1)
-    s_sorted_inv = jnp.logical_not(jnp.take_along_axis(s_mask, s_order, axis=-1))
+    if presorted:
+        q_sorted = q_points
+        s_sorted = s_points
+        s_sorted_x = jnp.where(s_mask, s_points[..., 0], 1.0e9)
+        s_sorted_inv = jnp.logical_not(s_mask)
+    else:
+        # x-sort both sides per cloud (pad rows -> tail)
+        qx = jnp.where(q_mask, q_points[..., 0], 1.0e9)
+        sx = jnp.where(s_mask, s_points[..., 0], 1.0e9)
+        q_order = jnp.argsort(qx, axis=-1).astype(jnp.int32)
+        s_order = jnp.argsort(sx, axis=-1).astype(jnp.int32)
+        q_sorted = jnp.take_along_axis(q_points, q_order[..., None], axis=1)
+        s_sorted = jnp.take_along_axis(s_points, s_order[..., None], axis=1)
+        s_sorted_x = jnp.take_along_axis(sx, s_order, axis=-1)
+        s_sorted_inv = jnp.logical_not(jnp.take_along_axis(s_mask, s_order, axis=-1))
 
     block = min(block_size, q)
     pad = (-q) % block
@@ -192,19 +205,26 @@ def radius_search_banded_pallas(
     )(ws, qp, s_flat_t)
 
     valid_sorted = vals < _BIG / 2
-    # flattened sorted position -> original per-cloud support index
-    flat_orig = (s_order + 0).reshape(b * s)
-    idx_orig = flat_orig[jnp.clip(idx_sorted, 0, b * s - 1).reshape(-1)].reshape(
-        b, nb * block, limit
-    )[:, :q]
     valid_sorted = valid_sorted.reshape(b, nb * block, limit)[:, :q]
+    if presorted:
+        # kernel indices are flattened (cloud*s + local); the support order
+        # IS the caller's order, so a broadcast subtract replaces the remap
+        idx = idx_sorted.reshape(b, nb * block, limit)[:, :q]
+        idx = idx - (jnp.arange(b, dtype=jnp.int32) * s)[:, None, None]
+        valid = valid_sorted
+    else:
+        # flattened sorted position -> original per-cloud support index
+        flat_orig = (s_order + 0).reshape(b * s)
+        idx_orig = flat_orig[jnp.clip(idx_sorted, 0, b * s - 1).reshape(-1)].reshape(
+            b, nb * block, limit
+        )[:, :q]
 
-    # un-permute queries back to original order
-    inv = jax.vmap(
-        lambda o: jnp.zeros((q,), jnp.int32).at[o].set(jnp.arange(q, dtype=jnp.int32))
-    )(q_order)
-    idx = jnp.take_along_axis(idx_orig, inv[..., None], axis=1)
-    valid = jnp.take_along_axis(valid_sorted, inv[..., None], axis=1)
+        # un-permute queries back to original order
+        inv = jax.vmap(
+            lambda o: jnp.zeros((q,), jnp.int32).at[o].set(jnp.arange(q, dtype=jnp.int32))
+        )(q_order)
+        idx = jnp.take_along_axis(idx_orig, inv[..., None], axis=1)
+        valid = jnp.take_along_axis(valid_sorted, inv[..., None], axis=1)
     valid = jnp.logical_and(valid, q_mask[..., None])
     idx = jnp.where(valid, idx, s)
     return idx, valid

@@ -85,3 +85,24 @@ def test_packed_select_nearest_matches_exact(rng):
             for a in se ^ sf:
                 assert abs(d2[a] - boundary) < radius**2 / 1024, (b, q, a)
     assert mism <= 6
+
+
+def test_banded_presorted_matches_default(rng):
+    """presorted=True (canonical pyramid-stage order) must reproduce the
+    default path's neighbor sets exactly, with indices in the sorted frame."""
+    pts, msk = lidar_like(rng)
+    # canonical order: x-ascending, pads at the tail
+    key = np.where(np.asarray(msk), np.asarray(pts)[..., 0], 1.0e9)
+    order = np.argsort(key, axis=-1)
+    ps = np.take_along_axis(np.asarray(pts), order[..., None], axis=1)
+    ms = np.take_along_axis(np.asarray(msk), order, axis=-1)
+    ps_j, ms_j = jnp.asarray(ps), jnp.asarray(ms)
+    radius, limit = 1.275, 20
+    di, dv = radius_search_banded_batched(
+        ps_j, ps_j, ms_j, ms_j, radius, limit, block_size=256, window=768
+    )
+    pi, pv = radius_search_banded_batched(
+        ps_j, ps_j, ms_j, ms_j, radius, limit, block_size=256, window=768, presorted=True
+    )
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(pi))
+    np.testing.assert_array_equal(np.asarray(dv), np.asarray(pv))

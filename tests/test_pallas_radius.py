@@ -70,3 +70,30 @@ def test_fast_select_same_sets_up_to_ties(rng):
             assert abs(d2[a] - boundary) < 0.01 * radius**2 + 1e-5, (q, a, d2[a], boundary)
     # ties must be rare
     assert mismatch_rows <= 12
+
+
+def test_pallas_presorted_matches_default(rng):
+    """presorted=True skips sorts/remaps; on canonically ordered inputs the
+    tables must be bit-identical to the default path."""
+    n, cap = 900, 1024
+    pts = np.full((2, cap, 3), 1.0e6, np.float32)
+    msk = np.zeros((2, cap), bool)
+    for i in range(2):
+        side = 30
+        xy = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1).reshape(-1, 2)[:n]
+        pts[i, :n, :2] = xy * 0.35 + rng.uniform(-0.1, 0.1, (n, 2))
+        pts[i, :n, 2] = rng.uniform(-0.5, 0.5, n)
+        msk[i, :n] = True
+    key = np.where(msk, pts[..., 0], 1.0e9)
+    order = np.argsort(key, axis=-1)
+    ps = np.take_along_axis(pts, order[..., None], axis=1)
+    ms = np.take_along_axis(msk, order, axis=-1)
+    p, m = jnp.asarray(ps), jnp.asarray(ms)
+    bi, bv = radius_search_banded_pallas(
+        p, p, m, m, 1.275, 20, block_size=256, window=768, interpret=True
+    )
+    ci, cv = radius_search_banded_pallas(
+        p, p, m, m, 1.275, 20, block_size=256, window=768, interpret=True, presorted=True
+    )
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ci))
+    np.testing.assert_array_equal(np.asarray(bv), np.asarray(cv))
