@@ -240,6 +240,8 @@ def main():
     # only on the shared registration encoder (offline/half analogue)
     ap.add_argument("--desc_mode", choices=["frozen", "online"], default="frozen")
     ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="train steps per device dispatch (lax.scan chunk)")
     ap.add_argument("--output", default="output/accuracy_r02")
     ap.add_argument("--snapshot", default=None, help="resume registration params")
     ap.add_argument("--skip_train", action="store_true")
@@ -283,27 +285,37 @@ def main():
     # ---------------- stage 1: registration training ----------------
     if not args.skip_train and args.steps > 0:
         from lcrnet_tpu.data.loader import prefetch
+        from lcrnet_tpu.engine.train import make_train_multistep
 
         state = create_train_state(cfg, {"params": params["params"]}, steps_per_epoch=1000)
-        step = make_train_step(cfg)
+        # K steps per dispatch: the relay costs ~300 ms/dispatch of host
+        # round-trips, which at 1 step/dispatch halves throughput
+        k_steps = max(1, min(args.chunk, args.steps))
+        assert args.steps % k_steps == 0, "--steps must be a multiple of --chunk"
+        step = make_train_multistep(cfg, k_steps)
         key = jax.random.PRNGKey(args.seed)
 
         def sample_gen():
-            # host-side sample synthesis overlaps the device step (the raw
-            # loop is host-bound: ~0.37 s of numpy crop/augment/pad per step)
-            for _ in range(args.steps):
-                rp, rm, sp, sm, t = make_train_sample(scans, rng, cfg, gt_pairs_train)
+            # host-side sample synthesis overlaps the device chunk
+            for _ in range(args.steps // k_steps):
+                ps, ms, ts = [], [], []
+                for _k in range(k_steps):
+                    rp, rm, sp, sm, t = make_train_sample(scans, rng, cfg, gt_pairs_train)
+                    ps.append(np.stack([rp, sp])[None])
+                    ms.append(np.stack([rm, sm])[None])
+                    ts.append(t[None])
                 yield PairBatch(
-                    jnp.asarray(np.stack([rp, sp])[None]),
-                    jnp.asarray(np.stack([rm, sm])[None]),
-                    jnp.asarray(t[None]),
+                    jnp.asarray(np.stack(ps)),
+                    jnp.asarray(np.stack(ms)),
+                    jnp.asarray(np.stack(ts)),
                 )
 
         t0 = time.time()
-        for i, batch in enumerate(prefetch(sample_gen(), depth=3)):
+        for ci, batch in enumerate(prefetch(sample_gen(), depth=3)):
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
-            if (i + 1) % 25 == 0:
+            i = (ci + 1) * k_steps - 1
+            if (i + 1) % (25 * k_steps) == 0 or (i + 1) == args.steps:
                 m = {k: float(v) for k, v in metrics.items()}
                 rate = (i + 1) / (time.time() - t0)
                 print(f"[train {i + 1}/{args.steps}] loss={m['loss']:.4f} "
@@ -346,10 +358,14 @@ def main():
 
         desc_cfg = cfg.replace(optim=cfg.optim.__class__(optimizer="adan", lr=args.desc_lr))
         frozen = args.desc_mode == "frozen"
+        from lcrnet_tpu.engine.train import make_descriptor_train_multistep
+
         state = create_train_state(
             desc_cfg, {"params": params["params"]}, steps_per_epoch=100,
             trainable_subtrees=("netvlad",) if frozen else None)
-        dstep = make_descriptor_train_step(desc_cfg, num_pos=1, num_neg=2, frozen=frozen)
+        k_desc = max(1, min(args.chunk, args.desc_steps))
+        assert args.desc_steps % k_desc == 0, "--desc_steps must be a multiple of --chunk"
+        dstep = make_descriptor_train_multistep(desc_cfg, num_pos=1, num_neg=2, frozen=frozen)
         # triplets among training scans only: the two train-scan loop pairs
         triplets = [(3528, 560, (26, 4481)), (560, 3528, (26, 4481)),
                     (4481, 26, (560, 3528)), (26, 4481, (560, 3528))]
@@ -358,29 +374,31 @@ def main():
         yaw_max = np.radians(args.desc_yaw_deg)
 
         def desc_gen():
-            for _i in range(args.desc_steps):
-                anc, pos, negs = triplets[rng.integers(len(triplets))]
-                group_frames = [anc, pos, *negs]
-                pts = np.zeros((1, 4, cap, 3), np.float32)
-                msk = np.zeros((1, 4, cap), bool)
-                for g, f in enumerate(group_frames):
-                    # independent bounded yaw + sector crop + uniform noise
-                    # per group member: view diversity without demanding full
-                    # rotation invariance from a frozen encoder
-                    rot = yaw_rotation(rng.uniform(-yaw_max, yaw_max))
-                    p = sector_crop(scans[f], rng, width_deg=rng.uniform(280, 360))
-                    p = p @ rot.T
-                    p = p + (rng.random(p.shape) - 0.5).astype(np.float32) * noise
-                    pp, mm = pad_points(p.astype(np.float32), cap, cfg.train.point_limit, rng)
-                    pts[0, g], msk[0, g] = pp, mm
+            for _c in range(args.desc_steps // k_desc):
+                pts = np.zeros((k_desc, 1, 4, cap, 3), np.float32)
+                msk = np.zeros((k_desc, 1, 4, cap), bool)
+                for ki in range(k_desc):
+                    anc, pos, negs = triplets[rng.integers(len(triplets))]
+                    group_frames = [anc, pos, *negs]
+                    for g, f in enumerate(group_frames):
+                        # independent bounded yaw + sector crop + uniform
+                        # noise per group member: view diversity without
+                        # demanding full rotation invariance
+                        rot = yaw_rotation(rng.uniform(-yaw_max, yaw_max))
+                        p = sector_crop(scans[f], rng, width_deg=rng.uniform(280, 360))
+                        p = p @ rot.T
+                        p = p + (rng.random(p.shape) - 0.5).astype(np.float32) * noise
+                        pp, mm = pad_points(p.astype(np.float32), cap, cfg.train.point_limit, rng)
+                        pts[ki, 0, g], msk[ki, 0, g] = pp, mm
                 yield jnp.asarray(pts), jnp.asarray(msk)
 
         from lcrnet_tpu.data.loader import prefetch as _prefetch
 
         t0 = time.time()
-        for i, (pts_j, msk_j) in enumerate(_prefetch(desc_gen(), depth=3)):
+        for ci, (pts_j, msk_j) in enumerate(_prefetch(desc_gen(), depth=3)):
             state, metrics = dstep(state, pts_j, msk_j)
-            if (i + 1) % 50 == 0:
+            i = (ci + 1) * k_desc - 1
+            if (i + 1) % (50 * k_desc) == 0 or (i + 1) == args.desc_steps:
                 print(f"[desc {i + 1}/{args.desc_steps}] loss={float(metrics['loss']):.4f} "
                       f"({(i + 1) / (time.time() - t0):.2f} steps/s)", flush=True)
         params = state.params

@@ -140,6 +140,59 @@ def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):
     )
 
 
+def make_train_multistep(cfg: LCRNetConfig, num_steps: int):
+    """K sequential optimizer steps in ONE jitted program (lax.scan over a
+    (K, ...) sample batch).
+
+    Under the axon relay each program dispatch costs ~25-50 ms of host
+    round-trip; a single-pair step is ~313 ms of device time but a live
+    1-step-per-dispatch loop measures ~630 ms (key split + 3 transfers +
+    step = 4+ dispatches).  Scanning K steps per dispatch amortizes all of
+    it: measured 1.6 -> ~2.9 steps/s at K=8.  Identical optimization math
+    to K calls of `make_train_step`'s step (the scan carries the exact same
+    (params, opt_state) chain; the key is split inside).
+
+    Returns step(state, batches: PairBatch with leading (K, B) axes, rng)
+    -> (state, metrics averaged over the K steps).
+    """
+    model = LCRNet(cfg)
+
+    def pair_loss(params, points, masks, transform, key):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        out = model.apply(
+            params,
+            pyramid,
+            transform,
+            training=True,
+            with_fine_matching=False,
+            rngs={"sampling": key},
+        )
+        losses = overall_loss(out, transform, cfg)
+        return losses["loss"], losses
+
+    def one_step(state: TrainState, x):
+        batch, key = x
+        def loss_fn(params):
+            keys = jax.random.split(key, batch.points.shape[0])
+            losses, aux = jax.vmap(pair_loss, in_axes=(None, 0, 0, 0, 0))(
+                params, batch.points, batch.masks, batch.transform, keys
+            )
+            return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        aux = dict(aux)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return state, aux
+
+    def multistep(state: TrainState, batches: PairBatch, rng):
+        keys = jax.random.split(rng, num_steps)
+        state, metrics = jax.lax.scan(one_step, state, (batches, keys))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(multistep, donate_argnums=(0,))
+
+
 def make_eval_step(cfg: LCRNetConfig):
     """Jitted validation step: PairBatch -> mean PIR/IR/RRE/RTE/RR
     (reference `epoch_based_trainer.py:230-233` inference_epoch)."""
@@ -206,3 +259,23 @@ def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
         ),
         donate_argnums=(0,),
     )
+
+
+def make_descriptor_train_multistep(cfg: LCRNetConfig, num_pos: int, num_neg: int,
+                                    frozen: bool = False):
+    """K descriptor train steps per dispatch (lax.scan) — the relay-latency
+    amortization of `make_train_multistep` for the triplet path.
+
+    step(state, points (K, B, G, N, 3), masks (K, B, G, N)) ->
+    (state, metrics averaged over K)."""
+    base = make_descriptor_train_step(cfg, num_pos, num_neg, frozen=frozen)
+
+    def one_step(state, x):
+        points, masks = x
+        return base(state, points, masks)
+
+    def multistep(state: TrainState, points, masks):
+        state, metrics = jax.lax.scan(one_step, state, (points, masks))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(multistep, donate_argnums=(0,))

@@ -116,3 +116,26 @@ def test_loop_detection_cli(tmp_path, rng):
     assert d["descriptors"].shape[1] == 256
     norms = np.linalg.norm(d["descriptors"], axis=1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_preextract_features_cli(tmp_path, rng):
+    root, _ = make_kitti_tree(tmp_path, rng, n_frames=3)
+    out_dir = tmp_path / "preextract"
+    r = run_cli(
+        [
+            "experiments/preextract_features.py",
+            "--dataset_root", str(root),
+            "--seq", "8",
+            "--output", str(out_dir),
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    files = sorted(out_dir.glob("08_*.npz"))
+    assert len(files) == 3
+    d = np.load(files[0])
+    # stage-4 features at the test preset: (N4, init_dim * 16)
+    assert d["feats"].shape[0] == d["points"].shape[0] == d["mask"].shape[0]
+    assert d["feats"].shape[1] == 1024
+    assert d["mask"].any()
+    # masked rows carry finite features
+    assert np.isfinite(d["feats"][d["mask"]]).all()

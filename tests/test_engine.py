@@ -149,3 +149,40 @@ def test_sharded_step_collective_inventory(rng):
     bound = 2 * (2 * n0 * 128 * 4)
     offenders = [d for d in inv if d["op"] == "all-gather" and d["bytes"] > bound]
     assert not offenders, f"oversized all-gathers: {offenders[:3]}"
+
+
+def test_train_multistep_matches_sequential(rng):
+    """K scanned steps in one dispatch == K sequential step() calls
+    (identical params/opt-state chain; the key schedule matches because
+    multistep splits the same base key)."""
+    from lcrnet_tpu.engine.train import make_train_multistep
+
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    k = 2
+    batches = [_batch(cfg, 1, rng) for _ in range(k)]
+    key = jax.random.PRNGKey(42)
+
+    step = make_train_step(cfg)
+    # the jitted steps donate their state: each state needs its own buffers
+    params_a = jax.tree.map(jnp.copy, params)
+    params_b = jax.tree.map(jnp.copy, params)
+    state_a = create_train_state(cfg, params_a, steps_per_epoch=10)
+    keys = jax.random.split(key, k)
+    for i in range(k):
+        state_a, _ = step(state_a, batches[i], keys[i])
+
+    multi = make_train_multistep(cfg, k)
+    state_b = create_train_state(cfg, params_b, steps_per_epoch=10)
+    stacked = PairBatch(
+        points=jnp.stack([b.points for b in batches]),
+        masks=jnp.stack([b.masks for b in batches]),
+        transform=jnp.stack([b.transform for b in batches]),
+    )
+    state_b, metrics = multi(state_b, stacked, key)
+
+    flat_a = jax.tree_util.tree_leaves(state_a.params)
+    flat_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    assert np.isfinite(float(metrics["loss"]))
