@@ -83,9 +83,31 @@ def main():
 
     board = SummaryBoard()
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+
+    # overlap host work with the device: sample loading runs one step ahead
+    # (prefetch thread) and the compressed npz writes run behind (writer
+    # thread) — the main loop only dispatches and converts
+    from queue import Queue
+    from threading import Thread
+
+    from lcrnet_tpu.data.loader import prefetch
+
+    write_q: "Queue" = Queue(maxsize=4)
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            path, payload = item
+            np.savez_compressed(path, **payload)
+
+    wt = Thread(target=writer, daemon=True)
+    wt.start()
+
     t_start = time.time()
-    for i in range(n):
-        sample = dataset[i]
+    samples = prefetch((dataset[i] for i in range(n)), depth=2)
+    for i, sample in enumerate(samples):
         keep, metrics = run_pair(
             params,
             jnp.asarray(sample["points"]),
@@ -94,17 +116,16 @@ def main():
         )
         keep = {k: np.asarray(v) for k, v in keep.items()}
         keep["transform"] = sample["transform"]
-        np.savez_compressed(
-            osp.join(args.feature_dir,
-                     f'{int(seq):02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'
-                     if str(seq).isdigit() or isinstance(seq, int)
-                     else f'{seq}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'),
-            **keep,
-        )
+        name = (f'{int(seq):02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'
+                if str(seq).isdigit() or isinstance(seq, int)
+                else f'{seq}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz')
+        write_q.put((osp.join(args.feature_dir, name), keep))
         board.update_from_dict({k: float(v) for k, v in metrics.items()})
         if (i + 1) % 20 == 0:
             rate = (i + 1) / (time.time() - t_start)
             print(f"[{i + 1}/{n}] {board.format()} ({rate:.2f} pairs/s)")
+    write_q.put(None)
+    wt.join()
     print(f"done: {board.format()}")
 
 

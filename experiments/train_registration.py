@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--max_epoch", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dp", type=int, default=None, help="data-parallel width")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="optimizer steps per device dispatch (single-chip; "
+                         "amortizes relay dispatch latency)")
     # multi-host launch (reference DDP launcher analogue): pass the same
     # coordinator to every process; omit all three for single-host runs
     ap.add_argument("--coordinator", default=None, help="host:port of process 0")
@@ -91,6 +94,7 @@ def main():
         output_dir=args.output,
         steps_per_epoch=steps_per_epoch,
         mesh=mesh,
+        chunk=args.chunk,
     )
     if args.resume:
         trainer.resume()

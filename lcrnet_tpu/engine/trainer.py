@@ -39,7 +39,14 @@ class EpochTrainer:
         val_every: int = 5,
         mesh=None,
         eval_step=None,
+        chunk: int = 1,
     ):
+        # chunk > 1 scans K optimizer steps per dispatch (identical math;
+        # amortizes the relay's per-program host round-trip — see
+        # make_train_multistep).  Single-chip only; leftover batches at the
+        # epoch tail run through the per-step path.
+        if chunk > 1 and mesh is not None:
+            raise ValueError("chunked stepping is single-chip only (mesh=None)")
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -51,6 +58,11 @@ class EpochTrainer:
         self.logger = make_logger(osp.join(output_dir, "logs", "train.log"))
         self.events = EventWriter(osp.join(output_dir, "events"))
         self.step_fn = make_train_step(cfg, mesh=mesh)
+        self.chunk = chunk
+        if chunk > 1:
+            from lcrnet_tpu.engine.train import make_train_multistep
+
+            self.multistep_fn = make_train_multistep(cfg, chunk)
         if eval_step is None and val_loader is not None:
             from lcrnet_tpu.engine.train import make_eval_step
 
@@ -82,21 +94,57 @@ class EpochTrainer:
         board = SummaryBoard(window=self.log_steps * 5)
         timer = Timer()
         timer.tic()
-        for i, batch in enumerate(self.train_loader()):
-            timer.toc_prepare()
+        pending = []
+        it = 0
+
+        def flush_chunk():
+            nonlocal it
+            import jax.numpy as jnp
+
+            stacked = PairBatch(
+                jnp.stack([b.points for b in pending]),
+                jnp.stack([b.masks for b in pending]),
+                jnp.stack([b.transform for b in pending]),
+            )
             self.rng, key = jax.random.split(self.rng)
-            self.state, metrics = self.step_fn(self.state, batch, key)
+            self.state, metrics = self.multistep_fn(self.state, stacked, key)
             jax.block_until_ready(metrics["loss"])
+            self.iteration += len(pending)
+            it += len(pending)
+            pending.clear()
+            return metrics
+
+        for batch in self.train_loader():
+            timer.toc_prepare()
+            if self.chunk > 1:
+                pending.append(batch)
+                if len(pending) < self.chunk:
+                    timer.tic()
+                    continue
+                metrics = flush_chunk()
+            else:
+                self.rng, key = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, key)
+                jax.block_until_ready(metrics["loss"])
+                self.iteration += 1
+                it += 1
             timer.toc_process()
-            self.iteration += 1
             board.update_from_dict(metrics)
-            if (i + 1) % self.log_steps == 0:
+            if it % (self.log_steps * self.chunk) == 0:
                 self.logger.info(
-                    f"epoch {self.epoch} it {i + 1}: {board.format()} "
+                    f"epoch {self.epoch} it {it}: {board.format()} "
                     f"(prep {timer.mean_prepare * 1e3:.1f} ms, step {timer.mean_process * 1e3:.1f} ms)"
                 )
                 self.events.add_scalars(board.summary(), self.iteration, prefix="train/")
             timer.tic()
+        # epoch tail shorter than a chunk: per-step path keeps every sample
+        tail, pending = pending, []
+        for batch in tail:
+            self.rng, key = jax.random.split(self.rng)
+            self.state, metrics = self.step_fn(self.state, batch, key)
+            jax.block_until_ready(metrics["loss"])
+            self.iteration += 1
+            board.update_from_dict(metrics)
         return board.summary()
 
     def validate(self):

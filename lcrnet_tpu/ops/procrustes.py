@@ -60,12 +60,16 @@ def weighted_procrustes(
     u, _, vt = jnp.linalg.svd(h)
     ut = jnp.swapaxes(u, -1, -2)
     v = jnp.swapaxes(vt, -1, -2)
-    det = jnp.linalg.det(v @ ut)
+    # the 3x3 composition matmuls must not drop to bf16 either: at default
+    # precision R came out orthonormal only to ~2e-3 (visible in demo poses)
+    det = jnp.linalg.det(jnp.matmul(v, ut, precision="highest"))
     diag = jnp.stack(
         [jnp.ones((b,), h.dtype), jnp.ones((b,), h.dtype), jnp.sign(det)], axis=-1
     )
-    r = (v * diag[:, None, :]) @ ut
-    t = ref_centroid[:, 0, :] - jnp.einsum("bij,bj->bi", r, src_centroid[:, 0, :])
+    r = jnp.matmul(v * diag[:, None, :], ut, precision="highest")
+    t = ref_centroid[:, 0, :] - jnp.einsum(
+        "bij,bj->bi", r, src_centroid[:, 0, :], precision="highest"
+    )
     transform = get_transform_from_rotation_translation(r, t)
     if squeeze:
         transform = transform[0]

@@ -69,7 +69,7 @@ def get_transform_from_rotation_translation(rotation: jnp.ndarray, translation: 
 def inverse_transform(transform: jnp.ndarray) -> jnp.ndarray:
     rotation, translation = get_rotation_translation_from_transform(transform)
     inv_rotation = jnp.swapaxes(rotation, -1, -2)
-    inv_translation = -jnp.einsum("...ij,...j->...i", inv_rotation, translation)
+    inv_translation = -jnp.einsum("...ij,...j->...i", inv_rotation, translation, precision=_PREC)
     return get_transform_from_rotation_translation(inv_rotation, inv_translation)
 
 
@@ -77,7 +77,7 @@ def compose_transforms(*transforms: jnp.ndarray) -> jnp.ndarray:
     """Compose T = T_n @ ... @ T_1 (points transformed by T_1 first)."""
     out = transforms[0]
     for t in transforms[1:]:
-        out = t @ out
+        out = jnp.matmul(t, out, precision=_PREC)
     return out
 
 

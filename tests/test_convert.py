@@ -144,6 +144,7 @@ def test_convert_matches_model_tree(rng):
     )
 
 
+@pytest.mark.slow
 def test_converted_params_run_forward(rng):
     sd = synth_reference_state_dict(rng)
     converted = jax.tree.map(lambda x: np.asarray(x), convert_state_dict(sd))
@@ -213,6 +214,7 @@ def test_parse_ply_ascii(tmp_path):
     np.testing.assert_allclose(got, pts, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(tmp_path, rng):
     """Full converter chain: synth torch .tar -> convert_snapshot.py ->
     orbax snapshot -> load_snapshot -> model forward runs (the 'demo

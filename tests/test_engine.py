@@ -45,6 +45,7 @@ def test_adan_minimizes_quadratic():
     assert float(jnp.abs(x).max()) < 5e-2
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(rng):
     cfg = make_test_cfg()
     params = init_params(cfg)
@@ -62,6 +63,7 @@ def test_train_step_reduces_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_train_step_sharded_matches_unsharded(rng):
     cfg = make_test_cfg()
     params = init_params(cfg)
@@ -78,6 +80,7 @@ def test_train_step_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_descriptor_train_step_runs(rng):
     cfg = make_test_cfg()
     params = init_params(cfg)
@@ -96,6 +99,7 @@ def test_descriptor_train_step_runs(rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_frozen_descriptor_step_freezes_encoder(rng):
     """Frozen LD mode (reference offline/half training,
     `LCRNet_GlobalDescrition.py:25-110`): encoder parameters are bit-frozen
@@ -123,6 +127,7 @@ def test_frozen_descriptor_step_freezes_encoder(rng):
     assert any(not np.array_equal(a, b) for a, b in zip(nv_old, nv_new))
 
 
+@pytest.mark.slow
 def test_sharded_step_collective_inventory(rng):
     """The dp x mp-sharded step must not all-gather whole point-axis
     activations: XLA should compute on local point shards and psum partial
@@ -151,6 +156,7 @@ def test_sharded_step_collective_inventory(rng):
     assert not offenders, f"oversized all-gathers: {offenders[:3]}"
 
 
+@pytest.mark.slow
 def test_train_multistep_matches_sequential(rng):
     """K scanned steps in one dispatch == K sequential step() calls
     (identical params/opt-state chain; the key schedule matches because

@@ -93,6 +93,7 @@ def test_forward_train_losses_finite(setup):
     assert float(losses["loss"]) > 0
 
 
+@pytest.mark.slow
 def test_gradients_flow(setup):
     cfg, model, params, pyramid, t = setup
 

@@ -11,6 +11,7 @@ from lcrnet_tpu.pipeline import init_params, make_pair_forward, make_pairs_forwa
 from test_model import make_pair
 
 
+@pytest.mark.slow
 def test_two_pairs_match_singles(rng):
     cfg = make_test_cfg()
     params = init_params(cfg)

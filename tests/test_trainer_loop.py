@@ -55,3 +55,41 @@ def test_trainer_epoch_snapshot_resume_validate(tmp_path, rng):
     # validation produces the registration metrics
     metrics = trainer.validate()
     assert set(metrics) >= {"PIR", "IR", "RRE", "RTE", "RR"}
+
+
+@pytest.mark.slow
+def test_trainer_chunked_epoch(tmp_path, rng):
+    """chunk=2 over 3 batches: one scanned chunk + a per-step tail, all 3
+    samples consumed, iteration count exact."""
+    cfg = make_test_cfg()
+    scans = {}
+    pairs = []
+    for i in range(3):
+        r = np.random.default_rng(200 + i)
+        ref, src, t = make_pair(r, n=320)
+        scans[2 * i] = src
+        scans[2 * i + 1] = ref
+        pairs.append({"anc_idx": 2 * i, "pos_idx": 2 * i + 1, "transform": t})
+    ds = RegistrationPairDataset(lambda i: scans[i], pairs, cfg)
+
+    def loader():
+        return pair_loader(ds, batch_size=1, shuffle=False, drop_last=False)
+
+    trainer = EpochTrainer(
+        cfg,
+        loader,
+        output_dir=str(tmp_path / "run"),
+        steps_per_epoch=3,
+        log_steps=1,
+        chunk=2,
+    )
+    summary = trainer.train_epoch()
+    assert trainer.iteration == 3
+    assert np.isfinite(summary["loss"])
+
+    # chunked stepping is single-chip only
+    class FakeMesh:
+        pass
+
+    with pytest.raises(ValueError):
+        EpochTrainer(cfg, loader, output_dir=str(tmp_path / "x"), chunk=2, mesh=FakeMesh())
