@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--feature_dir", default="output/features/registration")
     ap.add_argument("--limit", type=int, default=None, help="max pairs")
+    ap.add_argument("--pairs_per_batch", type=int, default=1,
+                    help="pairs per device program (amortizes dispatch "
+                         "latency on the relay; per-pair results identical)")
     args = ap.parse_args()
 
     import jax
@@ -53,10 +56,7 @@ def main():
 
     model = LCRNet(cfg)
 
-    @jax.jit
-    def run_pair(params, points, masks, transform):
-        pyramid = build_batch_pyramid(points, masks, cfg)
-        out = model.apply(params, pyramid, transform, training=False)
+    def keep_and_metrics(out, transform):
         metrics = evaluate_pair(out, transform, cfg)
         keep = {
             "ref_points_f": out["points_f"][0],
@@ -80,6 +80,46 @@ def main():
             "gt_node_corr_valid": out["gt_node_corr"].valid,
         }
         return keep, metrics
+
+    @jax.jit
+    def run_pair(params, points, masks, transform):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        out = model.apply(params, pyramid, transform, training=False)
+        return keep_and_metrics(out, transform)
+
+    ppb = max(1, args.pairs_per_batch)
+
+    @jax.jit
+    def run_pairs(params, points, masks, transforms):
+        """P pairs per program: (P, 2, N, 3) in, per-pair keeps/metrics out
+        (leading P axis).  Identical per-pair results to run_pair
+        (tests/test_multipair.py)."""
+        p, two, n0, _ = points.shape
+        pyramid = build_batch_pyramid(points.reshape(p * two, n0, 3),
+                                      masks.reshape(p * two, n0), cfg)
+        out = model.apply(params, pyramid, transforms, training=False, num_pairs=ppb)
+        keeps, mets = [], []
+        for i in range(ppb):  # static unroll: slicing only, no recompute
+            view = {
+                "points_f": out["points_f"][2 * i:2 * i + 2],
+                "masks_f": out["masks_f"][2 * i:2 * i + 2],
+                "nodes": out["nodes"][2 * i:2 * i + 2],
+                "node_masks": out["node_masks"][2 * i:2 * i + 2],
+                "gt_node_corr": jax.tree.map(lambda x, i=i: x[i], out["gt_node_corr"]),
+                "ref_node_corr_indices": out["ref_node_corr_indices"][i],
+                "src_node_corr_indices": out["src_node_corr_indices"][i],
+                "node_corr_valid": out["node_corr_valid"][i],
+                "ref_corr_points": out["ref_corr_points"][i],
+                "src_corr_points": out["src_corr_points"][i],
+                "corr_scores": out["corr_scores"][i],
+                "corr_valid": out["corr_valid"][i],
+                "estimated_transform": out["estimated_transform"][i],
+            }
+            k, m = keep_and_metrics(view, transforms[i])
+            keeps.append(k)
+            mets.append(m)
+        stack = lambda ds: {k: jnp.stack([d[k] for d in ds]) for k in ds[0]}
+        return stack(keeps), stack(mets)
 
     board = SummaryBoard()
     n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
@@ -105,25 +145,58 @@ def main():
     wt = Thread(target=writer, daemon=True)
     wt.start()
 
-    t_start = time.time()
-    samples = prefetch((dataset[i] for i in range(n)), depth=2)
-    for i, sample in enumerate(samples):
-        keep, metrics = run_pair(
-            params,
-            jnp.asarray(sample["points"]),
-            jnp.asarray(sample["masks"]),
-            jnp.asarray(sample["transform"]),
-        )
-        keep = {k: np.asarray(v) for k, v in keep.items()}
-        keep["transform"] = sample["transform"]
-        name = (f'{int(seq):02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'
+    def dump_name(sample):
+        return (f'{int(seq):02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'
                 if str(seq).isdigit() or isinstance(seq, int)
                 else f'{seq}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz')
-        write_q.put((osp.join(args.feature_dir, name), keep))
+
+    t_start = time.time()
+    done = 0
+
+    def finish_one(sample, keep, metrics):
+        nonlocal done
+        keep = {k: np.asarray(v) for k, v in keep.items()}
+        keep["transform"] = sample["transform"]
+        write_q.put((osp.join(args.feature_dir, dump_name(sample)), keep))
         board.update_from_dict({k: float(v) for k, v in metrics.items()})
-        if (i + 1) % 20 == 0:
-            rate = (i + 1) / (time.time() - t_start)
-            print(f"[{i + 1}/{n}] {board.format()} ({rate:.2f} pairs/s)")
+        done += 1
+        if done % 20 == 0:
+            rate = done / (time.time() - t_start)
+            print(f"[{done}/{n}] {board.format()} ({rate:.2f} pairs/s)")
+
+    if ppb == 1:
+        samples = prefetch((dataset[i] for i in range(n)), depth=2)
+        for sample in samples:
+            keep, metrics = run_pair(
+                params,
+                jnp.asarray(sample["points"]),
+                jnp.asarray(sample["masks"]),
+                jnp.asarray(sample["transform"]),
+            )
+            finish_one(sample, keep, metrics)
+    else:
+        def batched():
+            # final short batch is padded by repeating its last sample; the
+            # padded lanes are dropped on output
+            for start in range(0, n, ppb):
+                group = [dataset[i] for i in range(start, min(start + ppb, n))]
+                real = len(group)
+                while len(group) < ppb:
+                    group.append(group[-1])
+                yield real, group, (
+                    jnp.asarray(np.stack([s["points"] for s in group])),
+                    jnp.asarray(np.stack([s["masks"] for s in group])),
+                    jnp.asarray(np.stack([s["transform"] for s in group])),
+                )
+
+        for real, group, (pts, msks, tfs) in prefetch(batched(), depth=2):
+            keeps, mets = run_pairs(params, pts, msks, tfs)
+            for i in range(real):
+                finish_one(
+                    group[i],
+                    {k: v[i] for k, v in keeps.items()},
+                    {k: v[i] for k, v in mets.items()},
+                )
     write_q.put(None)
     wt.join()
     print(f"done: {board.format()}")

@@ -139,3 +139,33 @@ def test_preextract_features_cli(tmp_path, rng):
     assert d["mask"].any()
     # masked rows carry finite features
     assert np.isfinite(d["feats"][d["mask"]]).all()
+
+
+@pytest.mark.slow
+def test_registration_multipair_batch_matches_single(tmp_path, rng):
+    """--pairs_per_batch 2 (one program per 2 pairs, padded tail) must dump
+    the same per-pair results as the default per-pair path."""
+    root, pair_file = make_kitti_tree(tmp_path, rng)
+    single_dir = tmp_path / "single"
+    batch_dir = tmp_path / "batched"
+    base = [
+        "experiments/test_registration.py",
+        "--dataset_root", str(root),
+        "--seq", "8",
+        "--pair_file", str(pair_file),
+        "--limit", "3",
+    ]
+    r1 = run_cli(base + ["--feature_dir", str(single_dir)])
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    r2 = run_cli(base + ["--feature_dir", str(batch_dir), "--pairs_per_batch", "2"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    singles = sorted(single_dir.glob("*.npz"))
+    assert len(singles) == 3
+    for f in singles:
+        a = np.load(f)
+        b = np.load(batch_dir / f.name)
+        np.testing.assert_allclose(
+            a["estimated_transform"], b["estimated_transform"], atol=1e-4
+        )
+        np.testing.assert_array_equal(a["corr_valid"], b["corr_valid"])
+        np.testing.assert_array_equal(a["node_masks"], b["node_masks"])
