@@ -246,6 +246,11 @@ def main():
     ap.add_argument("--snapshot", default=None, help="resume registration params")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--seed", type=int, default=7351)
+    ap.add_argument("--neighbor_limits", default=None,
+                    help="comma-separated per-stage limits override, e.g. "
+                         "'40,40,40,40' — parameters are limit-independent, "
+                         "so a trained snapshot can be re-evaluated at any "
+                         "truncation width (accuracy/perf ablation)")
     args = ap.parse_args()
 
     import jax
@@ -260,6 +265,14 @@ def main():
     from lcrnet_tpu.pipeline import init_params
 
     cfg = make_cfg()
+    if args.neighbor_limits:
+        import dataclasses
+
+        limits = tuple(int(x) for x in args.neighbor_limits.split(","))
+        assert len(limits) == len(cfg.shapes.neighbor_limits)
+        cfg = dataclasses.replace(
+            cfg, shapes=dataclasses.replace(cfg.shapes, neighbor_limits=limits)
+        )
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.output, exist_ok=True)
     events = EventWriter(args.output)

@@ -60,25 +60,40 @@ class KPEncoder(nn.Module):
         nb, nbm = pyramid.neighbors, pyramid.neighbor_masks
         sub, subm = pyramid.subsampling, pyramid.subsampling_masks
 
+        # each stage's SELF table feeds two conv blocks with the same
+        # radius/sigma: hoist the kernel-influence tensor (incl. its
+        # scattered coordinate gather) once per table
+        from lcrnet_tpu.models.kernel_points import load_kernel_points
+        from lcrnet_tpu.models.kpconv import kpconv_influence
+
+        def self_infl(stage, radius, sigma):
+            kp = jnp.asarray(load_kernel_points(radius, ks))
+            return kpconv_influence(p[stage], p[stage], nb[stage], nbm[stage], kp, sigma)
+
+        infl0 = self_infl(0, r, sg)
+        infl1 = self_infl(1, r * 2, sg * 2)
+        infl2 = self_infl(2, r * 4, sg * 4)
+        infl3 = self_infl(3, r * 8, sg * 8)
+
         feats_list = []
         x = ConvBlock(self.input_dim, d, ks, r, sg, gn, ones_features=self.ones_features)(
-            feats, p[0], p[0], nb[0], nbm[0], m[0], norm_clouds)
-        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0], norm_clouds)
+            feats, p[0], p[0], nb[0], nbm[0], m[0], norm_clouds, influence=infl0)
+        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0], norm_clouds, influence=infl0)
         feats_list.append(x)
 
         x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(x, p[1], p[0], sub[0], subm[0], m[1], m[0], norm_clouds)
-        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds)
-        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds)
+        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds, influence=infl1)
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds, influence=infl1)
         feats_list.append(x)
 
         x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(x, p[2], p[1], sub[1], subm[1], m[2], m[1], norm_clouds)
-        x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds)
-        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds)
+        x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, influence=infl2)
+        x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, influence=infl2)
         feats_list.append(x)
 
         x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn, strided=True)(x, p[3], p[2], sub[2], subm[2], m[3], m[2], norm_clouds)
-        x = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds)
-        x = ResidualBlock(d * 16, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds)
+        x = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds, influence=infl3)
+        x = ResidualBlock(d * 16, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds, influence=infl3)
         feats_list.append(x)
 
         return feats_list
@@ -146,14 +161,22 @@ class VoteEncoder(nn.Module):
             centers, centers, node_masks, node_masks, r * 16, self.self_neighbor_limit
         )
 
+        from lcrnet_tpu.models.kernel_points import load_kernel_points
+        from lcrnet_tpu.models.kpconv import kpconv_influence
+
+        kp16 = jnp.asarray(load_kernel_points(r * 16, ks))
+        self_infl = kpconv_influence(centers, centers, self_idx, self_val, kp16, sg * 16)
+
         x = ResidualBlock(d * 4, d * 4, ks, r * 8, sg * 8, gn, strided=True)(
             feats_c, centers, points_c, sub_idx, sub_val, node_masks, masks_c, norm_clouds
         )
         x = ResidualBlock(d * 4, d * 8, ks, r * 16, sg * 16, gn)(
-            x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds
+            x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds,
+            influence=self_infl
         )
         x = ResidualBlock(d * 8, d * 8, ks, r * 16, sg * 16, gn)(
-            x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds
+            x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds,
+            influence=self_infl
         )
 
         return VoteResult(

@@ -56,6 +56,58 @@ def batched_gather(data: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid[..., None], out, fill)
 
 
+def kpconv_influence(
+    q_points: jnp.ndarray,
+    s_points: jnp.ndarray,
+    neighbor_indices: jnp.ndarray,
+    neighbor_masks: jnp.ndarray,
+    kp: jnp.ndarray,
+    sigma: float,
+    query_block: int = 4096,
+) -> jnp.ndarray:
+    """Kernel-influence tensor clamp(1 - d/sigma, 0) for a neighbor table.
+
+    (B, M, H) table -> (B, M, H, K) f32.  Two conv blocks that share the
+    same (queries, supports, table, radius, sigma) recompute this tensor —
+    including the scattered coordinate gather — identically; hoisting it
+    once per table and passing it via `KPConv.__call__(influence=...)`
+    trades ~0.5 GB/pair of sequential HBM traffic for the repeated gather
+    passes (measured win at KITTI scale).  Bit-identical math to the
+    in-conv computation."""
+    b, m, h = neighbor_indices.shape
+    n = s_points.shape[1]
+    k = kp.shape[0]
+    kp_sq = jnp.sum(kp * kp, axis=-1)
+
+    block = min(query_block, m)
+    pad = (-m) % block
+    nb = (m + pad) // block
+    qp = jnp.pad(q_points, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, 3)
+    idx = jnp.pad(neighbor_indices, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, h)
+    msk = jnp.pad(neighbor_masks, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, h)
+    cloud_of_block = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nb)
+
+    def one_block(args):
+        bqp, bidx, bmsk, cid = args
+        sp = lax.dynamic_index_in_dim(s_points, cid, axis=0, keepdims=False)
+        ci = jnp.clip(bidx, 0, n - 1)
+        nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
+        rel = nb_pts - bqp[:, None, :]
+        rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
+        cross = lax.dot_general(
+            rel, kp,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
+        d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
+        return jnp.maximum(1.0 - jnp.sqrt(d2) / sigma, 0.0)
+
+    infl = lax.map(one_block, (qp, idx, msk, cloud_of_block))
+    return infl.reshape(b, nb * block, h, k)[:, :m]
+
+
 class KPConv(nn.Module):
     in_channels: int
     out_channels: int
@@ -74,7 +126,8 @@ class KPConv(nn.Module):
     ones_features: bool = False
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
+                 influence=None):
         """KPConv over padded batched clouds.
 
         Args:
@@ -82,6 +135,10 @@ class KPConv(nn.Module):
           q_points: (B, M, 3); s_points: (B, N, 3).
           neighbor_indices: (B, M, H) per-cloud support indices.
           neighbor_masks: (B, M, H) validity.
+          influence: optional precomputed (B, M, H, K) kernel-influence
+            tensor from `kpconv_influence` for THIS table/radius/sigma —
+            skips the per-conv coordinate gather + influence math (share
+            across conv blocks on the same table).
 
         Returns: (B, M, C_out).
         """
@@ -117,28 +174,37 @@ class KPConv(nn.Module):
         idx = jnp.pad(neighbor_indices, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, h)
         msk = jnp.pad(neighbor_masks, ((0, 0), (0, pad), (0, 0))).reshape(b * nb, block, h)
         cloud_of_block = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nb)
+        pre_infl = None
+        if influence is not None:
+            pre_infl = jnp.pad(
+                influence, ((0, 0), (0, pad), (0, 0), (0, 0))
+            ).reshape(b * nb, block, h, k)
 
         def one_block(args):
-            bqp, bidx, bmsk, cid = args
+            if pre_infl is None:
+                bqp, bidx, bmsk, cid = args
+            else:
+                bqp, bidx, bmsk, cid, infl = args
             sp = lax.dynamic_index_in_dim(s_points, cid, axis=0, keepdims=False)
             ci = jnp.clip(bidx, 0, n - 1)
-            nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
-            rel = nb_pts - bqp[:, None, :]
-            rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
-            # d^2 to kernel points via expansion -> (block, H, K)
-            cross = lax.dot_general(
-                rel, kp,
-                dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST,  # coordinate math: no bf16
-            )
-            rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
-            # clamp at a small positive value: a self-neighbor sits exactly
-            # on the center kernel point and sqrt(0) has an infinite
-            # gradient (the reference dodges this only via its random
-            # kernel-point noise, `kernel_points.py:449`)
-            d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
-            infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,H,K)
+            if pre_infl is None:
+                nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
+                rel = nb_pts - bqp[:, None, :]
+                rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
+                # d^2 to kernel points via expansion -> (block, H, K)
+                cross = lax.dot_general(
+                    rel, kp,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,  # coordinate math: no bf16
+                )
+                rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
+                # clamp at a small positive value: a self-neighbor sits exactly
+                # on the center kernel point and sqrt(0) has an infinite
+                # gradient (the reference dodges this only via its random
+                # kernel-point noise, `kernel_points.py:449`)
+                d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
+                infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,H,K)
 
             if self.ones_features:
                 # neighbor features == neighbor mask; infl is already zero at
@@ -161,7 +227,10 @@ class KPConv(nn.Module):
             count = jnp.maximum(jnp.sum(bmsk.astype(jnp.float32), axis=1), 1.0)
             return out / count[:, None]
 
-        out = lax.map(one_block, (qp, idx, msk, cloud_of_block))
+        if pre_infl is None:
+            out = lax.map(one_block, (qp, idx, msk, cloud_of_block))
+        else:
+            out = lax.map(one_block, (qp, idx, msk, cloud_of_block, pre_infl))
         out = out.reshape(b, nb * block, c_out)[:, :m]
         if bias is not None:
             out = out + bias
@@ -239,11 +308,11 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks, q_mask,
-                 norm_clouds: int = 1):
+                 norm_clouds: int = 1, influence=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
             ones_features=self.ones_features,
-        )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks)
+        )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks, influence=influence)
         x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, q_mask, norm_clouds)
         return nn.leaky_relu(x, 0.1)
 
@@ -285,14 +354,14 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
-                 q_mask, s_mask, norm_clouds: int = 1):
+                 q_mask, s_mask, norm_clouds: int = 1, influence=None):
         mid = self.out_channels // 4
         if self.in_channels != mid:
             x = UnaryBlock(self.in_channels, mid, self.group_norm)(s_feats, s_mask, norm_clouds)
         else:
             x = s_feats
         x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)(
-            x, q_points, s_points, neighbor_indices, neighbor_masks
+            x, q_points, s_points, neighbor_indices, neighbor_masks, influence=influence
         )
         x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask, norm_clouds)
         x = nn.leaky_relu(x, 0.1)

@@ -149,3 +149,31 @@ def test_evaluator_perfect_estimate(setup):
     assert float(res["RRE"]) < 1e-3
     assert float(res["RTE"]) < 1e-3
     assert float(res["RR"]) == 1.0
+
+
+def test_kpconv_precomputed_influence_exact(rng):
+    """KPConv(influence=precomputed) must be bit-identical to the in-conv
+    computation (the encoder hoists influence across blocks sharing a
+    table)."""
+    from lcrnet_tpu.models.kpconv import KPConv, kpconv_influence
+    from lcrnet_tpu.models.kernel_points import load_kernel_points
+
+    b, n, h, c = 2, 256, 10, 8
+    pts = rng.uniform(-5, 5, (b, n, 3)).astype(np.float32)
+    mask = rng.random((b, n)) > 0.1
+    idx = rng.integers(0, n, (b, n, h)).astype(np.int32)
+    msk = (rng.random((b, n, h)) > 0.3) & np.stack([mask[i][idx[i]] for i in range(b)])
+    feats = rng.normal(size=(b, n, c)).astype(np.float32)
+
+    conv = KPConv(in_channels=c, out_channels=4, kernel_size=15, radius=1.0,
+                  sigma=0.6, query_block=128)
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(pts),
+                       jnp.asarray(pts), jnp.asarray(idx), jnp.asarray(msk))
+    plain = conv.apply(params, jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pts),
+                       jnp.asarray(idx), jnp.asarray(msk))
+    kp = jnp.asarray(load_kernel_points(1.0, 15))
+    infl = kpconv_influence(jnp.asarray(pts), jnp.asarray(pts), jnp.asarray(idx),
+                            jnp.asarray(msk), kp, 0.6, query_block=128)
+    hoisted = conv.apply(params, jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pts),
+                         jnp.asarray(idx), jnp.asarray(msk), influence=infl)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(hoisted))
