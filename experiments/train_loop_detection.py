@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--max_epoch", type=int, default=130)
     ap.add_argument("--init_snapshot", default=None, help="stage-1 registration snapshot")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help="train steps per device dispatch (lax.scan; "
+                         "amortizes relay dispatch latency)")
     args = ap.parse_args()
 
     import jax
@@ -68,27 +71,47 @@ def main():
         trainable_subtrees=("netvlad",) if frozen else None,
     )
     step = make_descriptor_train_step(cfg, args.num_pos, args.num_neg, frozen=frozen)
+    if args.chunk > 1:
+        from lcrnet_tpu.engine.train import make_descriptor_train_multistep
+
+        multistep = make_descriptor_train_multistep(
+            cfg, args.num_pos, args.num_neg, frozen=frozen
+        )
     cap = cfg.shapes.points[0]
     group = 1 + args.num_pos + args.num_neg
+
+    def make_batch(order, start):
+        pts = np.zeros((args.batch_size, group, cap, 3), np.float32)
+        msk = np.zeros((args.batch_size, group, cap), bool)
+        for b in range(args.batch_size):
+            anc, poss, negs = tuples[order[start + b]]
+            idxs = [int(anc)]
+            idxs += list(np.atleast_1d(poss).astype(int)[: args.num_pos])
+            idxs += list(np.atleast_1d(negs).astype(int)[: args.num_neg])
+            while len(idxs) < group:  # pad-by-duplication, as the reference
+                idxs.append(idxs[-1])
+            for g, i in enumerate(idxs):
+                p, m = pad_points(source(i), cap)
+                pts[b, g], msk[b, g] = p, m
+        return pts, msk
 
     rng = np.random.default_rng(cfg.seed)
     for epoch in range(args.max_epoch):
         board = SummaryBoard()
         order = rng.permutation(len(tuples))
-        for start in range(0, len(order) - args.batch_size + 1, args.batch_size):
-            pts = np.zeros((args.batch_size, group, cap, 3), np.float32)
-            msk = np.zeros((args.batch_size, group, cap), bool)
-            for b in range(args.batch_size):
-                anc, poss, negs = tuples[order[start + b]]
-                idxs = [int(anc)]
-                idxs += list(np.atleast_1d(poss).astype(int)[: args.num_pos])
-                idxs += list(np.atleast_1d(negs).astype(int)[: args.num_neg])
-                while len(idxs) < group:  # pad-by-duplication, as the reference
-                    idxs.append(idxs[-1])
-                for g, i in enumerate(idxs):
-                    p, m = pad_points(source(i), cap)
-                    pts[b, g], msk[b, g] = p, m
-            state, metrics = step(state, jnp.asarray(pts), jnp.asarray(msk))
+        starts = list(range(0, len(order) - args.batch_size + 1, args.batch_size))
+        i = 0
+        while i < len(starts):
+            if args.chunk > 1 and i + args.chunk <= len(starts):
+                chunk = [make_batch(order, starts[i + k]) for k in range(args.chunk)]
+                i += args.chunk
+                pts = np.stack([c[0] for c in chunk])
+                msk = np.stack([c[1] for c in chunk])
+                state, metrics = multistep(state, jnp.asarray(pts), jnp.asarray(msk))
+            else:
+                pts, msk = make_batch(order, starts[i])
+                i += 1
+                state, metrics = step(state, jnp.asarray(pts), jnp.asarray(msk))
             board.update_from_dict({k: float(v) for k, v in metrics.items()})
         logger.info(f"epoch {epoch + 1}/{args.max_epoch}: {board.format()}")
         save_snapshot(osp.join(args.output, "snapshots"), epoch + 1, state.params, state.opt_state)

@@ -169,3 +169,37 @@ def test_registration_multipair_batch_matches_single(tmp_path, rng):
         )
         np.testing.assert_array_equal(a["corr_valid"], b["corr_valid"])
         np.testing.assert_array_equal(a["node_masks"], b["node_masks"])
+
+
+@pytest.mark.slow
+def test_train_loop_detection_cli(tmp_path, rng):
+    """LD training CLI (reference trainval_loop_detection analogue): one
+    epoch over synthetic tuples, chunked dispatch, snapshot written."""
+    root, _ = make_kitti_tree(tmp_path, rng, n_frames=5)
+    tuple_file = tmp_path / "tuples.npz"
+    np.savez(
+        tuple_file,
+        anc_idx=np.array([0, 1, 2, 3]),
+        pos_idx=np.array([1, 2, 3, 4]),
+        neg_idx=np.array([3, 4, 0, 1]),
+    )
+    out = tmp_path / "ld"
+    r = run_cli(
+        [
+            "experiments/train_loop_detection.py",
+            "--dataset_root", str(root),
+            "--seq", "8",
+            "--tuple_file", str(tuple_file),
+            "--output", str(out),
+            "--train_mode", "frozen",
+            "--num_pos", "1",
+            "--num_neg", "1",
+            "--max_epoch", "1",
+            "--chunk", "2",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (out / "snapshots").is_dir()
+    assert any((out / "snapshots").iterdir())
+    log = (out / "logs" / "train.log").read_text()
+    assert "epoch 1/1" in log and "nan" not in log.lower().replace("nan_", "")
