@@ -164,18 +164,45 @@ class EpochTrainer:
         iter_based_trainer.py` twin): loop the train loader until the
         iteration budget is exhausted."""
         board = SummaryBoard(window=self.log_steps * 5)
+        pending = []
         while self.iteration < max_iterations:
             for batch in self.train_loader():
                 if self.iteration >= max_iterations:
                     break
-                self.rng, key = jax.random.split(self.rng)
-                self.state, metrics = self.step_fn(self.state, batch, key)
-                jax.block_until_ready(metrics["loss"])
-                self.iteration += 1
+                if self.chunk > 1 and self.iteration + self.chunk <= max_iterations:
+                    pending.append(batch)
+                    if len(pending) < self.chunk:
+                        continue
+                    import jax.numpy as jnp
+
+                    stacked = PairBatch(
+                        jnp.stack([b.points for b in pending]),
+                        jnp.stack([b.masks for b in pending]),
+                        jnp.stack([b.transform for b in pending]),
+                    )
+                    pending = []
+                    self.rng, key = jax.random.split(self.rng)
+                    self.state, metrics = self.multistep_fn(self.state, stacked, key)
+                    jax.block_until_ready(metrics["loss"])
+                    stride = self.chunk
+                else:
+                    # drain any partial chunk first so no sample is dropped
+                    stride = 0
+                    for extra in pending:
+                        self.rng, key = jax.random.split(self.rng)
+                        self.state, metrics = self.step_fn(self.state, extra, key)
+                        stride += 1
+                    pending = []
+                    self.rng, key = jax.random.split(self.rng)
+                    self.state, metrics = self.step_fn(self.state, batch, key)
+                    jax.block_until_ready(metrics["loss"])
+                    stride += 1
+                prev = self.iteration
+                self.iteration += stride
                 board.update_from_dict(metrics)
-                if self.iteration % self.log_steps == 0:
+                if self.iteration // self.log_steps > prev // self.log_steps:
                     self.logger.info(f"iter {self.iteration}/{max_iterations}: {board.format()}")
-                if self.iteration % snapshot_every == 0:
+                if self.iteration // snapshot_every > prev // snapshot_every:
                     save_snapshot(
                         self.snapshot_dir, self.iteration, self.state.params, self.state.opt_state
                     )

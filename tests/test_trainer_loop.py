@@ -93,3 +93,29 @@ def test_trainer_chunked_epoch(tmp_path, rng):
 
     with pytest.raises(ValueError):
         EpochTrainer(cfg, loader, output_dir=str(tmp_path / "x"), chunk=2, mesh=FakeMesh())
+
+
+@pytest.mark.slow
+def test_run_iterations_chunked_budget_exact(tmp_path, rng):
+    """Chunked run_iterations must consume exactly max_iterations samples
+    even when the budget is not a chunk multiple (partial-chunk drain)."""
+    cfg = make_test_cfg()
+    scans = {}
+    pairs = []
+    for i in range(5):
+        r = np.random.default_rng(300 + i)
+        ref, src, t = make_pair(r, n=320)
+        scans[2 * i] = src
+        scans[2 * i + 1] = ref
+        pairs.append({"anc_idx": 2 * i, "pos_idx": 2 * i + 1, "transform": t})
+    ds = RegistrationPairDataset(lambda i: scans[i], pairs, cfg)
+
+    def loader():
+        return pair_loader(ds, batch_size=1, shuffle=False, drop_last=False)
+
+    trainer = EpochTrainer(
+        cfg, loader, output_dir=str(tmp_path / "run"),
+        steps_per_epoch=5, log_steps=2, chunk=2,
+    )
+    trainer.run_iterations(max_iterations=5, snapshot_every=100)
+    assert trainer.iteration == 5
