@@ -127,7 +127,7 @@ class KPConv(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
-                 influence=None):
+                 influence=None, aux_maxpool=None):
         """KPConv over padded batched clouds.
 
         Args:
@@ -139,8 +139,15 @@ class KPConv(nn.Module):
             tensor from `kpconv_influence` for THIS table/radius/sigma —
             skips the per-conv coordinate gather + influence math (share
             across conv blocks on the same table).
+          aux_maxpool: optional (B, N, C_aux) support features to max-pool
+            over the SAME neighbor table (the strided ResidualBlock's
+            shortcut `maxpool`).  Scattered row gathers on TPU are
+            address-generation-bound, not byte-bound, so widening the
+            conv's gather row by C_aux lanes is nearly free while a
+            separate maxpool gather pays a full (M*H)-row address pass.
 
-        Returns: (B, M, C_out).
+        Returns: (B, M, C_out), or (out, aux_pooled (B, M, C_aux)) when
+        aux_maxpool is given.
         """
         kp = jnp.asarray(load_kernel_points(self.radius, self.kernel_size))  # (K, 3)
         weights = self.param(
@@ -180,15 +187,45 @@ class KPConv(nn.Module):
                 influence, ((0, 0), (0, pad), (0, 0), (0, 0))
             ).reshape(b * nb, block, h, k)
 
+        # ONE fused gather source per block: conv features | shortcut-maxpool
+        # features | support coordinates share the same row addresses, and TPU
+        # scattered gathers pay per ROW (address generation), not per byte —
+        # concatenating the columns collapses up to three address passes into
+        # one slightly wider gather.
+        parts = []
+        if not self.ones_features:
+            parts.append(("feats", s_feats))
+        if aux_maxpool is not None:
+            parts.append(("aux", aux_maxpool))
+        if pre_infl is None:
+            parts.append(("pts", s_points))
+        gather_src = (
+            jnp.concatenate([p for _, p in parts], axis=-1) if len(parts) > 1
+            else (parts[0][1] if parts else None)
+        )
+
         def one_block(args):
             if pre_infl is None:
                 bqp, bidx, bmsk, cid = args
+                infl = None
             else:
                 bqp, bidx, bmsk, cid, infl = args
-            sp = lax.dynamic_index_in_dim(s_points, cid, axis=0, keepdims=False)
             ci = jnp.clip(bidx, 0, n - 1)
-            if pre_infl is None:
-                nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
+            nb_feats = nb_aux = nb_pts = None
+            if gather_src is not None:
+                src = lax.dynamic_index_in_dim(gather_src, cid, axis=0, keepdims=False)
+                rows = src[ci.reshape(-1)].reshape(block, h, src.shape[-1])
+                off = 0
+                for name, p in parts:
+                    sl = rows[..., off:off + p.shape[-1]]
+                    off += p.shape[-1]
+                    if name == "feats":
+                        nb_feats = sl
+                    elif name == "aux":
+                        nb_aux = sl
+                    else:
+                        nb_pts = sl
+            if infl is None:
                 rel = nb_pts - bqp[:, None, :]
                 rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
                 # d^2 to kernel points via expansion -> (block, H, K)
@@ -211,8 +248,6 @@ class KPConv(nn.Module):
                 # masked neighbors, so the contraction is a plain reduction
                 weighted = jnp.sum(infl, axis=1)[..., None]  # (block, K, 1)
             else:
-                feats = lax.dynamic_index_in_dim(s_feats, cid, axis=0, keepdims=False)
-                nb_feats = feats[ci.reshape(-1)].reshape(block, h, c_in)
                 nb_feats = jnp.where(bmsk[..., None], nb_feats, 0.0)
                 # (block, K, H) @ (block, H, C_in) -> (block, K, C_in)
                 weighted = lax.dot_general(
@@ -225,16 +260,25 @@ class KPConv(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             count = jnp.maximum(jnp.sum(bmsk.astype(jnp.float32), axis=1), 1.0)
-            return out / count[:, None]
+            out = out / count[:, None]
+            if nb_aux is None:
+                return out
+            # masked neighbor max-pool, identical to `maxpool`
+            pooled = jnp.max(jnp.where(bmsk[..., None], nb_aux, -1.0e12), axis=1)
+            pooled = jnp.where(jnp.any(bmsk, axis=1, keepdims=True), pooled, 0.0)
+            return out, pooled
 
         if pre_infl is None:
             out = lax.map(one_block, (qp, idx, msk, cloud_of_block))
         else:
             out = lax.map(one_block, (qp, idx, msk, cloud_of_block, pre_infl))
+        if aux_maxpool is not None:
+            out, pooled = out
+            pooled = pooled.reshape(b, nb * block, -1)[:, :m]
         out = out.reshape(b, nb * block, c_out)[:, :m]
         if bias is not None:
             out = out + bias
-        return out
+        return (out, pooled) if aux_maxpool is not None else out
 
 
 class MaskedGroupNorm(nn.Module):
@@ -360,17 +404,21 @@ class ResidualBlock(nn.Module):
             x = UnaryBlock(self.in_channels, mid, self.group_norm)(s_feats, s_mask, norm_clouds)
         else:
             x = s_feats
-        x = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)(
-            x, q_points, s_points, neighbor_indices, neighbor_masks, influence=influence
-        )
+        conv = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)
+        if self.strided:
+            # the shortcut maxpool rides the conv's gather (same neighbor
+            # rows) instead of paying its own address pass
+            x, shortcut = conv(
+                x, q_points, s_points, neighbor_indices, neighbor_masks,
+                influence=influence, aux_maxpool=s_feats,
+            )
+        else:
+            x = conv(x, q_points, s_points, neighbor_indices, neighbor_masks,
+                     influence=influence)
+            shortcut = s_feats
         x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask, norm_clouds)
         x = nn.leaky_relu(x, 0.1)
         x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False)(x, q_mask, norm_clouds)
-
-        if self.strided:
-            shortcut = maxpool(s_feats, neighbor_indices, neighbor_masks)
-        else:
-            shortcut = s_feats
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(
                 self.in_channels, self.out_channels, self.group_norm, has_relu=False

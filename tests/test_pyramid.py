@@ -98,3 +98,40 @@ def test_pyramid_batched_over_pair(rng):
     single = build_pyramid(pa, ma, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275)
     np.testing.assert_array_equal(np.asarray(pyr.neighbors[0][0]), np.asarray(single.neighbors[0]))
     np.testing.assert_array_equal(np.asarray(pyr.upsampling[0][0]), np.asarray(single.upsampling[0]))
+
+
+def test_banded_nearest_upsample_matches_dense(rng):
+    """The upsampling tables ride the banded search with limit=1 when the
+    support stage is large (pyramid.py): verify against the dense
+    nearest-in-radius argmin on x-sorted clouds at production-gate scale
+    (supports >= 4096 — CPU tests at tiny shapes never hit this path)."""
+    from lcrnet_tpu.ops.pyramid import _search
+    from lcrnet_tpu.ops.radius_search import nearest_search_batched
+
+    b, nq, ns, extent = 2, 8192, 4096, 60.0
+    radius = 2.55
+
+    def sorted_cloud(n, cap, key):
+        pts = np.full((cap, 3), 1.0e6, np.float32)
+        c = key.uniform(-extent, extent, (n, 3)).astype(np.float32)
+        c[:, 2] = key.uniform(-1.5, 1.5, n)
+        c = c[np.argsort(c[:, 0])]
+        pts[:n] = c
+        msk = np.zeros(cap, bool)
+        msk[:n] = True
+        return pts, msk
+
+    qs, qms, ss, sms = [], [], [], []
+    for i in range(b):
+        qp, qm = sorted_cloud(nq - 100 * i, nq, rng)
+        sp, sm = sorted_cloud(ns - 50 * i, ns, rng)
+        qs.append(qp), qms.append(qm), ss.append(sp), sms.append(sm)
+    q, qm = jnp.asarray(np.stack(qs)), jnp.asarray(np.stack(qms))
+    s, sm = jnp.asarray(np.stack(ss)), jnp.asarray(np.stack(sms))
+
+    bi, bv = _search(q, s, qm, sm, radius, 1, False, 2048)
+    di, dv = nearest_search_batched(q, s, qm, sm, radius)
+    bi, bv, di, dv = map(np.asarray, (bi, bv, di, dv))
+    np.testing.assert_array_equal(bv[..., 0], dv)
+    # same nearest support wherever one exists (random floats: no ties)
+    np.testing.assert_array_equal(bi[..., 0][dv], di[dv])
