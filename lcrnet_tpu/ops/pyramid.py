@@ -50,14 +50,20 @@ def _search(q, s, qm, sm, radius, limit, fast_select=False, window=4224):
     # remap gather and the query un-permute — the dominant non-kernel costs
     # (~37 ms/pair measured).  Stage capacities are multiples of the block
     # sizes, so concatenated (self + subsampling) query parts stay aligned.
-    if s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT and s.shape[1] % 128 == 0:
-        if jax.default_backend() == "tpu" and limit <= 96:
-            from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
+    aligned = s.shape[1] % 128 == 0
+    on_tpu = jax.default_backend() == "tpu"
+    # the fused Pallas kernel pays off well below the XLA banded path's
+    # break-even: at stage-2 scale (q 3328, s 2560, limit 68) it measures
+    # 4.4 ms vs 9.0 ms for the dense packed sweep; at s=768 the dense
+    # path wins on grid overheads (measured 1.8 vs 2.4 ms)
+    if on_tpu and limit <= 96 and aligned and s.shape[1] >= 1024:
+        from lcrnet_tpu.ops.radius_search_pallas import radius_search_banded_pallas
 
-            return radius_search_banded_pallas(
-                q, s, qm, sm, radius, limit, fast_select=fast_select, window=window,
-                presorted=True,
-            )
+        return radius_search_banded_pallas(
+            q, s, qm, sm, radius, limit, fast_select=fast_select, window=window,
+            presorted=True,
+        )
+    if aligned and s.shape[1] >= _BANDED_SEARCH_MIN_SUPPORT:
         from lcrnet_tpu.ops.radius_search import radius_search_banded_batched
 
         return radius_search_banded_batched(

@@ -232,3 +232,48 @@ def test_procrustes_zero_weights_no_nan():
     w = jnp.zeros((1, 10))
     out = np.asarray(weighted_procrustes(src, ref, w))
     assert np.all(np.isfinite(out))
+
+
+def test_kabsch_rotation_3x3_matches_lapack(rng):
+    """The closed-form Jacobi Kabsch rotation (the TPU path in
+    weighted_procrustes) must match the LAPACK-SVD det-corrected rotation on
+    well-conditioned inputs, including reflection (det < 0) cases, and stay
+    a valid rotation on degenerate ranks."""
+    from lcrnet_tpu.ops.procrustes import kabsch_rotation_3x3
+
+    def lapack_r(h):
+        u, _, vt = np.linalg.svd(h)
+        v, ut = vt.T, u.T
+        d = np.sign(np.linalg.det(v @ ut))
+        return v @ np.diag([1.0, 1.0, d]) @ ut
+
+    h = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    got = np.asarray(kabsch_rotation_3x3(jnp.asarray(h)))
+    for i in range(64):
+        want = lapack_r(h[i].astype(np.float64))
+        np.testing.assert_allclose(got[i], want, atol=2e-5)
+        assert np.linalg.det(got[i]) > 0.99
+
+    # degenerate: rank-2, rank-1 and zero H still yield proper rotations
+    r1 = rng.normal(size=3)
+    degen = np.stack([
+        np.outer(rng.normal(size=3), r1) + np.outer(rng.normal(size=3), rng.normal(size=3)),
+        np.outer(rng.normal(size=3), r1),
+        np.zeros((3, 3)),
+    ]).astype(np.float32)
+    rs = np.asarray(kabsch_rotation_3x3(jnp.asarray(degen)))
+    for r in rs:
+        assert np.isfinite(r).all()
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(r) > 0.99
+    np.testing.assert_allclose(rs[2], np.eye(3), atol=1e-6)
+
+    # rank-2 case: rotation must still solve the (planar) alignment exactly
+    ref_pts = rng.normal(size=(200, 3)).astype(np.float32)
+    ref_pts[:, 2] = 0.0  # planar
+    ang = 0.7
+    rot = np.array([[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+    src_pts = ref_pts @ rot  # src = R^T ref, i.e. ref = R @ src
+    hh = (src_pts.T @ ref_pts).astype(np.float32)
+    r = np.asarray(kabsch_rotation_3x3(jnp.asarray(hh)))
+    np.testing.assert_allclose(r, rot, atol=1e-4)
