@@ -240,6 +240,11 @@ def main():
     # only on the shared registration encoder (offline/half analogue)
     ap.add_argument("--desc_mode", choices=["frozen", "online"], default="frozen")
     ap.add_argument("--eval_every", type=int, default=500)
+    # Polyak average of the registration params (time constant 1/(1-d) steps);
+    # evals and the saved snapshots use the average — damps the 0.2–2.7°
+    # between-snapshot pose-error swings on the held-out pair (ACCURACY_r03
+    # training dynamics).  0 disables (identical program to before).
+    ap.add_argument("--ema", type=float, default=0.0)
     ap.add_argument("--chunk", type=int, default=8,
                     help="train steps per device dispatch (lax.scan chunk)")
     ap.add_argument("--output", default="output/accuracy_r02")
@@ -300,7 +305,8 @@ def main():
         from lcrnet_tpu.data.loader import prefetch
         from lcrnet_tpu.engine.train import make_train_multistep
 
-        state = create_train_state(cfg, {"params": params["params"]}, steps_per_epoch=1000)
+        state = create_train_state(cfg, {"params": params["params"]},
+                                   steps_per_epoch=1000, ema_decay=args.ema)
         # K steps per dispatch: the relay costs ~300 ms/dispatch of host
         # round-trips, which at 1 step/dispatch halves throughput
         k_steps = max(1, min(args.chunk, args.steps))
@@ -337,17 +343,21 @@ def main():
                 for k, v in m.items():
                     events.add_scalar(k, v, i + 1)
             if args.eval_every and (i + 1) % args.eval_every == 0 and (i + 1) < args.steps:
-                save_snapshot(osp.join(args.output, "snapshots"), i + 1, state.params, None)
+                save_snapshot(osp.join(args.output, "snapshots"), i + 1, state.eval_params, None)
                 evals = run_registration_eval(
-                    cfg, state.params, scans, gt_pairs, osp.join(args.output, "features"))
+                    cfg, state.eval_params, scans, gt_pairs, osp.join(args.output, "features"))
                 for e in evals:
                     print(f"  eval ({e['anc_idx']},{e['pos_idx']})"
                           f"{' [held-out scans]' if e['held_out_scans'] else ''}: "
                           f"RRE={e['RRE']:.3f}deg RTE={e['RTE'] * 100:.1f}cm "
                           f"IR={e['IR']:.3f} PIR={e['PIR']:.3f} RR={e['RR']:.0f}",
                           flush=True)
-        params = state.params
-        save_snapshot(osp.join(args.output, "snapshots"), args.steps, state.params, None)
+        params = state.eval_params
+        save_snapshot(osp.join(args.output, "snapshots"), args.steps, state.eval_params, None)
+        if args.ema > 0:
+            # keep the raw (non-averaged) weights too for A/B re-evals
+            save_snapshot(osp.join(args.output, "snapshots_raw"), args.steps,
+                          state.params, None)
         report["train_seconds"] = round(time.time() - t0, 1)
         report["train_steps_per_sec"] = round(args.steps / (time.time() - t0), 3)
 

@@ -59,7 +59,34 @@ def make_optimizer(cfg: LCRNetConfig, steps_per_epoch: int) -> optax.GradientTra
 
 
 class TrainState(train_state.TrainState):
-    pass
+    """flax TrainState + optional Polyak (EMA) parameter average.
+
+    When `ema_params` is set (see `create_train_state(ema_decay=...)`), every
+    `apply_gradients` also folds the fresh params into the exponential moving
+    average — evaluating with the average damps the late-training pose-error
+    fluctuation seen on marginal pairs (ACCURACY_r03.md training dynamics:
+    0.2–2.7° swings between snapshots).  `ema_params is None` is resolved at
+    trace time, so the default path compiles to the exact same program as
+    before.
+    """
+
+    ema_params: Optional[Any] = None
+    ema_decay: float = dataclasses.field(metadata={"pytree_node": False}, default=0.0)
+
+    def apply_gradients(self, *, grads, **kwargs):
+        state = super().apply_gradients(grads=grads, **kwargs)
+        if self.ema_params is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, self.ema_params, state.params
+            )
+            state = state.replace(ema_params=ema)
+        return state
+
+    @property
+    def eval_params(self):
+        """Parameters to evaluate with: the EMA if tracked, else the raw."""
+        return self.ema_params if self.ema_params is not None else self.params
 
 
 def create_train_state(
@@ -67,6 +94,7 @@ def create_train_state(
     params,
     steps_per_epoch: int = 1,
     trainable_subtrees: Optional[Tuple[str, ...]] = None,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     """Build the optimizer state.
 
@@ -81,7 +109,13 @@ def create_train_state(
         keep = set(trainable_subtrees)
         freeze_mask = {"params": {k: k not in keep for k in params["params"]}}
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask))
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    extra = {}
+    if ema_decay > 0.0:
+        # real copies: jnp.asarray would alias the param buffers, and the
+        # donated train step must not see aliased inputs (NOTES.md trap)
+        extra = {"ema_params": jax.tree.map(jnp.copy, params),
+                 "ema_decay": ema_decay}
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx, **extra)
 
 
 def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):

@@ -192,3 +192,73 @@ def test_train_multistep_matches_sequential(rng):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ema_train_state_tracks_polyak_average():
+    """EMA params follow d*ema + (1-d)*params on every apply_gradients, the
+    default (ema off) path is unchanged, and the state round-trips through
+    jit/scan as a pytree."""
+    from lcrnet_tpu.engine.train import TrainState
+
+    params = {"params": {"w": jnp.ones((4,))}}
+    tx = optax.sgd(0.5)
+    state = TrainState.create(
+        apply_fn=None, params=jax.tree.map(jnp.copy, params), tx=tx,
+        ema_params=jax.tree.map(jnp.copy, params), ema_decay=0.8)
+    grads = {"params": {"w": jnp.full((4,), 2.0)}}
+
+    @jax.jit
+    def two_steps(s):
+        def body(s, _):
+            return s.apply_gradients(grads=grads), None
+        s, _ = jax.lax.scan(body, s, None, length=2)
+        return s
+
+    out = two_steps(state)
+    # raw: 1 -> 0 -> -1; ema: 1 -> 0.8 -> 0.8*0.8 + 0.2*(-1) = 0.44
+    np.testing.assert_allclose(np.asarray(out.params["params"]["w"]), -1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.ema_params["params"]["w"]), 0.44, atol=1e-6)
+    assert out.eval_params is out.ema_params
+
+    plain = TrainState.create(apply_fn=None, params=params, tx=tx)
+    plain = jax.jit(lambda s: s.apply_gradients(grads=grads))(plain)
+    assert plain.ema_params is None and plain.eval_params is plain.params
+
+
+@pytest.mark.slow
+def test_sharded_step_collective_inventory_real_shapes(rng):
+    """Same collective guard at the PRODUCTION shape budget (20480-point
+    stage 0): collective pathology is shape-dependent — XLA's propagation
+    choices at 512 points say nothing about 20480.  Compile-only (no
+    execution), so this costs one CPU compile, cached across runs."""
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.parallel.analyze import collective_inventory
+    from lcrnet_tpu.parallel.mesh import make_mesh
+
+    cfg = make_cfg()
+    mesh = make_mesh(dp=4, mp=2)
+    params = jax.eval_shape(lambda: init_params(cfg))
+    state = jax.eval_shape(
+        lambda p: create_train_state(cfg, p, 10), params
+    )
+    step = make_train_step(cfg, mesh=mesh)
+    n0 = cfg.shapes.points[0]
+    batch = PairBatch(
+        jax.ShapeDtypeStruct((4, 2, n0, 3), jnp.float32),
+        jax.ShapeDtypeStruct((4, 2, n0), jnp.bool_),
+        jax.ShapeDtypeStruct((4, 4, 4), jnp.float32),
+    )
+    comp = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    inv = collective_inventory(comp)
+    assert any(d["op"] == "all-reduce" for d in inv), "gradient psum missing"
+    # Regression guard at the measured level (908 MB/step after the
+    # SPMD-safe MaskedGroupNorm rewrite; was 1363 MB before it).  The
+    # residual traffic is the cross-shard banded-search blocks and conv
+    # feature gathers + their backward scatter partial-sums — the automatic
+    # SPMD cost of point-axis mp.  The halo shard_map forward
+    # (lcrnet_tpu/parallel/) is the scalable path; tighten these bounds
+    # when training moves onto it.
+    total = sum(d["bytes"] for d in inv)
+    assert total < 1000e6, f"mp collective traffic grew: {total / 1e6:.0f} MB"
+    biggest = max((d["bytes"] for d in inv), default=0)
+    assert biggest < 200e6, f"new dominant collective: {biggest / 1e6:.0f} MB"
