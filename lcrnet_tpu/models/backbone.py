@@ -50,10 +50,19 @@ class KPEncoder(nn.Module):
     ones_features: bool = False
 
     @nn.compact
-    def __call__(self, feats, pyramid: Pyramid, norm_clouds: int = 2):
+    def __call__(self, feats, pyramid: Pyramid, norm_clouds: int = 2,
+                 spmd_axis=None):
         """feats (B, N0, input_dim); pyramid holds per-stage (B, N_s, ...).
         norm_clouds: GroupNorm statistic grouping (2 = per pair, matching the
         reference's pair-stacked norm; 1 = per cloud for descriptor batches).
+
+        spmd_axis: inside shard_map, the mesh axis name for point-axis (mp)
+        sharding.  Stages 0 and 1 (97% of the point rows) compute on local
+        query shards with ring-halo support slabs (parallel/halo.py — valid
+        because the canonical x-sorted tables are banded); stages 2 and 3 are
+        replicated after one ~5 MB support all-gather at the 1->2 strided
+        transition.  The returned feats_list is then [shard, shard, full,
+        full].  Parameter tree and math are identical to the plain path.
         """
         d, ks, r, sg, gn = self.init_dim, self.kernel_size, self.init_radius, self.init_sigma, self.group_norm
         p, m = pyramid.points, pyramid.masks
@@ -66,27 +75,83 @@ class KPEncoder(nn.Module):
         from lcrnet_tpu.models.kernel_points import load_kernel_points
         from lcrnet_tpu.models.kpconv import kpconv_influence
 
-        def self_infl(stage, radius, sigma):
-            kp = jnp.asarray(load_kernel_points(radius, ks))
-            return kpconv_influence(p[stage], p[stage], nb[stage], nbm[stage], kp, sigma)
+        if spmd_axis is not None:
+            from lcrnet_tpu.parallel.halo import (
+                remap_to_slab, shard_slice, slab_slice,
+            )
 
-        infl0 = self_infl(0, r, sg)
-        infl1 = self_infl(1, r * 2, sg * 2)
-        infl2 = self_infl(2, r * 4, sg * 4)
-        infl3 = self_infl(3, r * 8, sg * 8)
+            # local/slab views for the sharded stages (0 and 1); stage-2/3
+            # tables stay replicated.  All of this is slicing of replicated
+            # arrays — zero communication.
+            def ring_view(q_stage, s_stage, idx, valid):
+                l_s = p[s_stage].shape[1] // jax.lax.axis_size(spmd_axis)
+                idx_l = shard_slice(idx, spmd_axis)
+                val_l = shard_slice(valid, spmd_axis)
+                idx_l, val_l = remap_to_slab(idx_l, val_l, l_s, spmd_axis)
+                return dict(
+                    qp=shard_slice(p[q_stage], spmd_axis),
+                    qm=shard_slice(m[q_stage], spmd_axis),
+                    sp=slab_slice(p[s_stage], spmd_axis),
+                    sm=slab_slice(m[s_stage], spmd_axis, fill=False),
+                    idx=idx_l, val=val_l,
+                )
+
+            v_self0 = ring_view(0, 0, nb[0], nbm[0])
+            v_sub0 = ring_view(1, 0, sub[0], subm[0])
+            v_self1 = ring_view(1, 1, nb[1], nbm[1])
+            ring0 = ring1 = ("ring", spmd_axis)
+            gather1 = ("gather", spmd_axis)
+            m1_local = shard_slice(m[1], spmd_axis)
+            feats_in = shard_slice(feats, spmd_axis)
+        else:
+            full = lambda q_stage, s_stage, idx, valid: dict(
+                qp=p[q_stage], qm=m[q_stage], sp=p[s_stage], sm=m[s_stage],
+                idx=idx, val=valid,
+            )
+            v_self0 = full(0, 0, nb[0], nbm[0])
+            v_sub0 = full(1, 0, sub[0], subm[0])
+            v_self1 = full(1, 1, nb[1], nbm[1])
+            ring0 = ring1 = gather1 = None
+            m1_local = m[1]
+            feats_in = feats
+
+        def self_infl(view, radius, sigma):
+            kp = jnp.asarray(load_kernel_points(radius, ks))
+            return kpconv_influence(view["qp"], view["sp"], view["idx"], view["val"], kp, sigma)
+
+        infl0 = self_infl(v_self0, r, sg)
+        infl1 = self_infl(v_self1, r * 2, sg * 2)
+        v_self2 = dict(qp=p[2], qm=m[2], sp=p[2], sm=m[2], idx=nb[2], val=nbm[2])
+        v_self3 = dict(qp=p[3], qm=m[3], sp=p[3], sm=m[3], idx=nb[3], val=nbm[3])
+        infl2 = self_infl(v_self2, r * 4, sg * 4)
+        infl3 = self_infl(v_self3, r * 8, sg * 8)
+
+        def sargs(view):
+            return (view["qp"], view["sp"], view["idx"], view["val"])
 
         feats_list = []
         x = ConvBlock(self.input_dim, d, ks, r, sg, gn, ones_features=self.ones_features)(
-            feats, p[0], p[0], nb[0], nbm[0], m[0], norm_clouds, influence=infl0)
-        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(x, p[0], p[0], nb[0], nbm[0], m[0], m[0], norm_clouds, influence=infl0)
+            feats_in, *sargs(v_self0), v_self0["qm"], norm_clouds, influence=infl0,
+            spmd_axis=spmd_axis)
+        x = ResidualBlock(d, d * 2, ks, r, sg, gn)(
+            x, *sargs(v_self0), v_self0["qm"], v_self0["qm"], norm_clouds,
+            influence=infl0, spmd=ring0)
         feats_list.append(x)
 
-        x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(x, p[1], p[0], sub[0], subm[0], m[1], m[0], norm_clouds)
-        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds, influence=infl1)
-        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(x, p[1], p[1], nb[1], nbm[1], m[1], m[1], norm_clouds, influence=infl1)
+        x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(
+            x, *sargs(v_sub0), v_sub0["qm"], v_self0["qm"], norm_clouds, spmd=ring0)
+        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(
+            x, *sargs(v_self1), v_self1["qm"], v_self1["qm"], norm_clouds,
+            influence=infl1, spmd=ring1)
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(
+            x, *sargs(v_self1), v_self1["qm"], v_self1["qm"], norm_clouds,
+            influence=infl1, spmd=ring1)
         feats_list.append(x)
 
-        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(x, p[2], p[1], sub[1], subm[1], m[2], m[1], norm_clouds)
+        # 1 -> 2 strided transition: queries (stage 2+) are replicated from
+        # here on; the block all-gathers its bottleneck support features
+        x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(
+            x, p[2], p[1], sub[1], subm[1], m[2], m1_local, norm_clouds, spmd=gather1)
         x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, influence=infl2)
         x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, influence=infl2)
         feats_list.append(x)
@@ -198,7 +263,15 @@ class KPDecoder(nn.Module):
     group_norm: int
 
     @nn.compact
-    def __call__(self, feats_list, pyramid: Pyramid, norm_clouds: int = 2):
+    def __call__(self, feats_list, pyramid: Pyramid, norm_clouds: int = 2,
+                 spmd_axis=None):
+        """spmd_axis: point-axis sharding inside shard_map.  feats_list is
+        the encoder's [shard, shard, full, full] layout; stages mirror the
+        encoder — the stage-2 unary is replicated, stages 1 and 0 compute on
+        local query shards (the up-tables are limit-1 banded, so the stage-0
+        gather needs only the ring slab of the stage-1 latent).  The final
+        fine features are all-gathered before returning, because fine
+        matching gathers per-node patches that span shards."""
         d, gn = self.init_dim, self.group_norm
         up, upm = pyramid.upsampling, pyramid.upsampling_masks
         m = pyramid.masks
@@ -206,6 +279,31 @@ class KPDecoder(nn.Module):
         latent = nearest_upsample(feats_list[3], up[2], upm[2])
         latent = jnp.concatenate([latent, feats_list[2]], axis=-1)
         latent = UnaryBlock(d * 12, d * 8, gn)(latent, m[2], norm_clouds)
+
+        if spmd_axis is not None:
+            from lcrnet_tpu.parallel.halo import (
+                all_gather_rows, remap_to_slab, ring_exchange, shard_slice,
+            )
+
+            # stage 1: local queries gather from the REPLICATED stage-2
+            # latent (global indices, no remap)
+            up1 = shard_slice(up[1], spmd_axis)
+            upm1 = shard_slice(upm[1], spmd_axis)
+            latent = nearest_upsample(latent, up1, upm1)
+            latent = jnp.concatenate([latent, feats_list[1]], axis=-1)
+            latent = UnaryBlock(d * 12, d * 4, gn)(
+                latent, shard_slice(m[1], spmd_axis), norm_clouds, spmd_axis)
+
+            # stage 0: local queries gather from the SHARDED stage-1 latent
+            # via its ring slab
+            l1 = m[1].shape[1] // jax.lax.axis_size(spmd_axis)
+            up0 = shard_slice(up[0], spmd_axis)
+            upm0 = shard_slice(upm[0], spmd_axis)
+            up0, upm0 = remap_to_slab(up0, upm0, l1, spmd_axis)
+            latent = nearest_upsample(ring_exchange(latent, spmd_axis), up0, upm0)
+            latent = jnp.concatenate([latent, feats_list[0]], axis=-1)
+            latent = LastUnaryBlock(d * 2)(latent)
+            return all_gather_rows(latent, spmd_axis)
 
         latent = nearest_upsample(latent, up[1], upm[1])
         latent = jnp.concatenate([latent, feats_list[1]], axis=-1)

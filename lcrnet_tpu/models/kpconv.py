@@ -295,7 +295,11 @@ class MaskedGroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, mask, clouds_per_group: int = 1):
+    def __call__(self, x, mask, clouds_per_group: int = 1,
+                 spmd_axis: Optional[str] = None):
+        """spmd_axis: inside shard_map with x holding only this device's
+        point-axis shard, the name of the mesh axis to psum statistics over
+        (each global row must appear on exactly one device)."""
         scale = self.param("scale", nn.initializers.ones, (self.num_channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.num_channels,))
         b, n, c = x.shape
@@ -313,6 +317,8 @@ class MaskedGroupNorm(nn.Module):
         m = mask[:, :, None, None].astype(x.dtype)
         s = jnp.sum(xg * m, axis=(1, 3))                       # (b, g)
         cnt = jnp.sum(mask.astype(x.dtype), axis=1)            # (b,)
+        if spmd_axis is not None:
+            s, cnt = lax.psum((s, cnt), spmd_axis)
         denom = jnp.maximum(
             cnt.reshape(b // cg, cg).sum(axis=1) * (c // g), 1.0
         )[:, None]                                             # (b/cg, 1)
@@ -320,6 +326,8 @@ class MaskedGroupNorm(nn.Module):
         mean_b = jnp.repeat(mean, cg, axis=0)[:, None, :, None]
         d = (xg - mean_b) * m
         v = jnp.sum(d * d, axis=(1, 3))                        # (b, g)
+        if spmd_axis is not None:
+            v = lax.psum(v, spmd_axis)
         var = v.reshape(b // cg, cg, g).sum(axis=1) / denom    # (b/cg, g)
         var_b = jnp.repeat(var, cg, axis=0)[:, None, :, None]
         out = (xg - mean_b) * lax.rsqrt(var_b + self.epsilon)
@@ -336,9 +344,11 @@ class UnaryBlock(nn.Module):
     has_relu: bool = True
 
     @nn.compact
-    def __call__(self, x, mask, norm_clouds: int = 1):
+    def __call__(self, x, mask, norm_clouds: int = 1,
+                 spmd_axis: Optional[str] = None):
         x = nn.Dense(self.out_channels)(x)
-        x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, mask, norm_clouds)
+        x = MaskedGroupNorm(self.group_norm, self.out_channels)(
+            x, mask, norm_clouds, spmd_axis)
         if self.has_relu:
             x = nn.leaky_relu(x, 0.1)
         return x
@@ -367,12 +377,18 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks, q_mask,
-                 norm_clouds: int = 1, influence=None):
+                 norm_clouds: int = 1, influence=None,
+                 spmd_axis: Optional[str] = None):
+        """spmd_axis: queries (and hence outputs) hold this device's
+        point-axis shard; GroupNorm stats psum over the axis.  The support
+        args must already be slab-remapped by the caller (a ones_features
+        conv, the only ConvBlock use, gathers no support features at all)."""
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
             ones_features=self.ones_features,
         )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks, influence=influence)
-        x = MaskedGroupNorm(self.group_norm, self.out_channels)(x, q_mask, norm_clouds)
+        x = MaskedGroupNorm(self.group_norm, self.out_channels)(
+            x, q_mask, norm_clouds, spmd_axis)
         return nn.leaky_relu(x, 0.1)
 
 
@@ -413,29 +429,62 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
-                 q_mask, s_mask, norm_clouds: int = 1, influence=None):
+                 q_mask, s_mask, norm_clouds: int = 1, influence=None,
+                 spmd=None):
+        """spmd: None for the plain path, else ("ring"|"gather", axis_name)
+        for point-axis (mp) sharding inside shard_map:
+
+          * "ring": s_feats/s_mask hold this device's LOCAL support rows;
+            q_points/q_mask/neighbor_* hold the LOCAL query rows with
+            indices already remapped into [left|local|right] slab positions
+            (parallel/halo.py).  The conv input features are ring-exchanged
+            here — after the bottleneck unary, so the exchange moves `mid`
+            channels, and fused with the shortcut features so both ride one
+            ppermute pair.  Outputs are the local query shard.
+          * "gather": queries are REPLICATED (a coarse stage) while
+            supports are sharded — support features are all-gathered here
+            (the stage-1 -> stage-2 transition, ~5 MB).  Outputs replicated.
+        """
+        mode, axis = spmd if spmd is not None else (None, None)
+        s_spmd = axis  # supports are sharded in both modes
+        q_spmd = axis if mode == "ring" else None
         mid = self.out_channels // 4
         if self.in_channels != mid:
-            x = UnaryBlock(self.in_channels, mid, self.group_norm)(s_feats, s_mask, norm_clouds)
+            x = UnaryBlock(self.in_channels, mid, self.group_norm)(
+                s_feats, s_mask, norm_clouds, s_spmd)
         else:
             x = s_feats
         conv = KPConv(mid, mid, self.kernel_size, self.radius, self.sigma)
+        if mode is not None:
+            from lcrnet_tpu.parallel.halo import all_gather_rows, ring_exchange
+
+            exchange = ring_exchange if mode == "ring" else all_gather_rows
+            if self.strided:
+                # one ppermute pair / all-gather for both the conv input and
+                # the shortcut-maxpool features
+                both = exchange(jnp.concatenate([x, s_feats], axis=-1), axis)
+                x_sup, short_sup = both[..., :mid], both[..., mid:]
+            else:
+                x_sup, short_sup = exchange(x, axis), None
+        else:
+            x_sup, short_sup = x, s_feats if self.strided else None
         if self.strided:
             # the shortcut maxpool rides the conv's gather (same neighbor
             # rows) instead of paying its own address pass
             x, shortcut = conv(
-                x, q_points, s_points, neighbor_indices, neighbor_masks,
-                influence=influence, aux_maxpool=s_feats,
+                x_sup, q_points, s_points, neighbor_indices, neighbor_masks,
+                influence=influence, aux_maxpool=short_sup,
             )
         else:
-            x = conv(x, q_points, s_points, neighbor_indices, neighbor_masks,
+            x = conv(x_sup, q_points, s_points, neighbor_indices, neighbor_masks,
                      influence=influence)
             shortcut = s_feats
-        x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask, norm_clouds)
+        x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask, norm_clouds, q_spmd)
         x = nn.leaky_relu(x, 0.1)
-        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False)(x, q_mask, norm_clouds)
+        x = UnaryBlock(mid, self.out_channels, self.group_norm, has_relu=False)(
+            x, q_mask, norm_clouds, q_spmd)
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(
                 self.in_channels, self.out_channels, self.group_norm, has_relu=False
-            )(shortcut, q_mask, norm_clouds)
+            )(shortcut, q_mask, norm_clouds, q_spmd)
         return nn.leaky_relu(x + shortcut, 0.1)

@@ -122,6 +122,7 @@ class LCRNet(nn.Module):
         with_global_head: bool = True,
         with_fine_matching: bool = True,
         num_pairs: int = 1,
+        spmd_axis: Optional[str] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Pair(s) forward.
 
@@ -130,6 +131,10 @@ class LCRNet(nn.Module):
           transform: (4, 4) GT src->ref (or (P, 4, 4) for multi-pair).
           training: GT-target path; requires transform and num_pairs == 1.
           num_pairs: static pair count P.
+          spmd_axis: point-axis (mp) mesh axis name when called inside
+            shard_map (see pipeline.make_pair_forward_mp): the KPConv
+            encoder/decoder compute on per-device point shards with
+            ring-halo exchange; node-scale modules run replicated.
 
         Output shapes: P == 1 keeps the single-pair contract (no pair axis
         on matching outputs); P > 1 adds a leading P axis to per-pair keys.
@@ -154,7 +159,7 @@ class LCRNet(nn.Module):
 
         # 1. encoder
         feats = masks_f[..., None].astype(jnp.float32)
-        feats_list = self.encoder(feats, pyramid, norm_clouds=2)
+        feats_list = self.encoder(feats, pyramid, norm_clouds=2, spmd_axis=spmd_axis)
 
         # 2. global descriptors from pre-transformer stage-4 features
         # (reference `LCRNet.py:115-122,300-305`)
@@ -256,7 +261,7 @@ class LCRNet(nn.Module):
         out["node_corr_valid"] = node_corr_valid[0] if squeeze else node_corr_valid
 
         # 9. decoder -> fine features
-        feats_f = self.kpdecoder(feats_list, pyramid, norm_clouds=2)
+        feats_f = self.kpdecoder(feats_list, pyramid, norm_clouds=2, spmd_axis=spmd_axis)
         out["feats_f"] = feats_f
 
         # 10. patch tensors for the correspondence set (per pair)

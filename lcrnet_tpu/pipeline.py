@@ -53,6 +53,53 @@ def make_pair_forward(cfg: LCRNetConfig, with_global_head: bool = True):
     return forward
 
 
+def make_pair_forward_mp(cfg: LCRNetConfig, mesh, with_global_head: bool = True):
+    """Point-axis (mp) sharded pair forward via shard_map + ring halos.
+
+    The explicit SPMD alternative to annotating shardings and letting XLA
+    propagate: at production shapes the automatic path all-gathers whole
+    point-axis activations (~908 MB/step measured, see
+    tests/test_engine.py::test_sharded_step_collective_inventory_real_shapes),
+    while this path's traffic is two ring ppermutes per fine-stage conv, one
+    ~5 MB support all-gather at the stage-1->2 transition, and one fine-
+    feature all-gather at the decoder exit — it scales with shard size, not
+    cloud size.  Design notes in parallel/halo.py.
+
+    mesh: a Mesh whose LAST axis is named "mp" (the point axis); the pyramid
+    is built replicated per device (selection work, ~30 ms of the forward),
+    the KPConv stages 0-1 compute on local shards, everything from stage 2 up
+    runs replicated.  Outputs equal make_pair_forward's up to float reduction
+    order.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    model = LCRNet(cfg)
+
+    def local_forward(params, ref_points, ref_mask, src_points, src_mask):
+        points = jnp.stack([ref_points, src_points])
+        masks = jnp.stack([ref_mask, src_mask])
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        return model.apply(
+            params,
+            pyramid,
+            None,
+            training=False,
+            with_global_head=with_global_head,
+            with_fine_matching=True,
+            spmd_axis="mp",
+        )
+
+    sharded = shard_map(
+        local_forward,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_pairs_forward(cfg: LCRNetConfig, num_pairs: int, with_global_head: bool = True):
     """Multi-pair eval forward: (params, points (P, 2, N, 3), masks (P, 2, N))
     -> per-pair outputs with a leading P axis.  One program processes all

@@ -1,0 +1,143 @@
+"""Tests for the ring-halo mp (point-axis) sharding path.
+
+The halo design rests on the canonical x-sorted pyramid making every
+neighbor table banded (parallel/halo.py); these tests pin (1) numerical
+equivalence of the shard_map forward against the plain forward, (2) the
+halo-coverage invariant on REAL KITTI scans, and (3) the primitive remap
+semantics.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from lcrnet_tpu.config import make_test_cfg
+from lcrnet_tpu.pipeline import init_params, make_pair_forward, make_pair_forward_mp
+
+from test_model import make_pair
+
+
+def _mp_mesh(n):
+    devs = jax.devices()[:n]
+    return Mesh(np.asarray(devs), ("mp",))
+
+
+def test_ring_exchange_and_remap_roundtrip():
+    """ring_exchange + remap_to_slab reproduce a plain global gather for
+    banded indices, and mask out-of-slab escapes."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from lcrnet_tpu.parallel.halo import remap_to_slab, ring_exchange, shard_slice
+
+    mesh = _mp_mesh(4)
+    n, c = 64, 3
+    l = n // 4
+    feats = jnp.arange(n * c, dtype=jnp.float32).reshape(1, n, c)
+    rng = np.random.default_rng(0)
+    # banded indices: within +-l of the query row, plus one deliberate escape
+    idx = np.clip(np.arange(n)[:, None] + rng.integers(-l, l, (n, 5)), 0, n - 1)
+    idx[0, 0] = n - 1  # query 0 (device 0) -> last row (device 3): escapes
+    idx = jnp.asarray(idx)[None]
+    valid = jnp.ones((1, n, 5), bool)
+
+    def local(feats_full, idx_full, valid_full):
+        f_local = shard_slice(feats_full, "mp")
+        idx_l = shard_slice(idx_full, "mp")
+        val_l = shard_slice(valid_full, "mp")
+        slab_idx, val = remap_to_slab(idx_l, val_l, l, "mp")
+        slab = ring_exchange(f_local, "mp")
+        out = jnp.take_along_axis(
+            slab, jnp.clip(slab_idx, 0, 3 * l - 1).reshape(1, -1, 1), axis=1
+        ).reshape(idx_l.shape + (c,))
+        return jnp.where(val[..., None], out, 0.0), val
+
+    out, val = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P(), P()),
+        out_specs=(P(None, "mp"), P(None, "mp")), check_rep=False,
+    ))(feats, idx, valid)
+    ref = np.asarray(feats)[0][np.asarray(idx)[0]]
+    got, val = np.asarray(out)[0], np.asarray(val)[0]
+    assert not val[0, 0], "escape must be masked"
+    np.testing.assert_allclose(got[val], ref[val])
+
+
+@pytest.mark.slow
+def test_mp_forward_matches_plain(rng):
+    """The shard_map mp forward equals the plain forward (same params, same
+    pyramid) up to float reduction order.  At the tiny test budget one shard
+    plus its ring covers every stage, so the comparison is tight."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs forced host devices")
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    ref, src, _ = make_pair(rng, n=400)
+    n0 = cfg.shapes.points[0]
+
+    def pad(pts):
+        out = np.full((n0, 3), 1.0e6, np.float32)
+        out[: len(pts)] = pts
+        m = np.zeros((n0,), bool)
+        m[: len(pts)] = True
+        return jnp.asarray(out), jnp.asarray(m)
+
+    rp, rm = pad(ref)
+    sp, sm = pad(src)
+
+    plain = jax.jit(make_pair_forward(cfg))(params, rp, rm, sp, sm)
+    mp = make_pair_forward_mp(cfg, _mp_mesh(2))(params, rp, rm, sp, sm)
+
+    np.testing.assert_allclose(
+        np.asarray(mp["feats_f"]), np.asarray(plain["feats_f"]), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(mp["node_feats"]), np.asarray(plain["node_feats"]), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(mp["nodes"]), np.asarray(plain["nodes"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mp["estimated_transform"]),
+        np.asarray(plain["estimated_transform"]), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_halo_coverage_on_real_scan():
+    """The banded-table invariant the halo design rests on, pinned on a real
+    KITTI scan at mp=4: every valid neighbor index of the sharded stages
+    falls inside [left|local|right] of its query's shard."""
+    import os.path as osp
+
+    scan = "/root/reference/demo/data_demo/000958.npy"
+    if not osp.exists(scan):
+        pytest.skip("demo scans not present")
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.data.kitti import load_scan_npy, pad_points
+    from lcrnet_tpu.ops.pyramid import build_pyramid_batched
+
+    cfg = make_cfg()
+    sb = cfg.shapes
+    p = load_scan_npy(scan)
+    pp, mm = pad_points(p, sb.points[0])
+    pyr = build_pyramid_batched(
+        jnp.asarray(pp)[None], jnp.asarray(mm)[None], sb.points,
+        sb.neighbor_limits, cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius, fast_select=False,
+        search_windows=sb.search_windows)
+
+    mp = 4
+
+    def check(idx, msk, n_q, n_s, name):
+        idx, msk = np.asarray(idx[0]), np.asarray(msk[0])
+        l_q, l_s = n_q // mp, n_s // mp
+        q_shard = np.arange(idx.shape[0])[:, None] // l_q
+        lo = (q_shard - 1) * l_s
+        hi = (q_shard + 2) * l_s
+        ok = (idx >= lo) & (idx < hi)
+        escapes = int(np.sum(~ok & msk))
+        assert escapes == 0, f"{name}: {escapes} neighbors escape the ring slab"
+
+    n = [pts.shape[1] for pts in pyr.points]
+    check(pyr.neighbors[0], pyr.neighbor_masks[0], n[0], n[0], "self0")
+    check(pyr.subsampling[0], pyr.subsampling_masks[0], n[1], n[0], "sub0")
+    check(pyr.neighbors[1], pyr.neighbor_masks[1], n[1], n[1], "self1")
+    check(pyr.upsampling[0], pyr.upsampling_masks[0], n[0], n[1], "up0")
