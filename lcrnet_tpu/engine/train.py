@@ -118,12 +118,16 @@ def create_train_state(
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx, **extra)
 
 
-def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):
+def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None,
+                    return_grads: bool = False):
     """Build the jitted dp-sharded registration train step.
 
     Returns step(state, batch: PairBatch, rng) -> (state, metrics).  The pair
     axis of the batch is sharded over the mesh 'dp' axis; parameters are
     replicated; the gradient mean induces the cross-device psum.
+
+    return_grads: include the raw gradient tree in the metrics dict
+    (debug/test only — keeps a full parameter-sized tree alive).
     """
     model = LCRNet(cfg)
 
@@ -154,6 +158,8 @@ def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):
         state = state.apply_gradients(grads=grads)
         aux = dict(aux)
         aux["grad_norm"] = optax.global_norm(grads)
+        if return_grads:
+            aux["grads"] = grads
         return state, aux
 
     if mesh is None:
@@ -172,6 +178,84 @@ def make_train_step(cfg: LCRNetConfig, mesh: Optional[Mesh] = None):
         in_shardings=(None, batch_sharding, replicated),
         donate_argnums=(0,),
     )
+
+
+def make_train_step_mp(cfg: LCRNetConfig, mesh: Mesh, return_grads: bool = False):
+    """Explicit ring-halo (dp, mp) train step via shard_map.
+
+    Same optimization math as `make_train_step` (the equivalence is pinned in
+    tests/test_halo.py), but the point axis is sharded with the halo exchange
+    (parallel/halo.py) instead of XLA propagation — per-conv traffic is two
+    ring ppermutes of the bottleneck channels rather than the ~908 MB/step of
+    point-axis all-gathers the automatic path materializes at production
+    shapes.
+
+    Gradient correctness needs no per-subtree bookkeeping: the decoder exit
+    all-gathers the fine features, and its AD transpose (psum_scatter) sums
+    the identical upstream cotangents from all mp devices, scaling every
+    sharded-stage gradient by exactly mp; replicated-stage gradients are
+    bit-identical per device.  A uniform `pmean` over ("dp", "mp") therefore
+    yields the exact full-batch gradient for both groups at once.
+
+    mesh: ('dp', 'mp') Mesh.  Pairs shard over dp; each pair's points are
+    replicated within its mp group (the pyramid is selection work, cheap to
+    replicate) and the KPConv stages compute on point shards.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    model = LCRNet(cfg)
+
+    def pair_loss(params, points, masks, transform, key):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        out = model.apply(
+            params,
+            pyramid,
+            transform,
+            training=True,
+            with_fine_matching=False,
+            rngs={"sampling": key},
+            spmd_axis="mp",
+        )
+        losses = overall_loss(out, transform, cfg)
+        return losses["loss"], losses
+
+    def local_step(state: TrainState, batch: PairBatch, keys):
+        # batch/keys hold this dp-shard's pairs; every mp peer sees the same
+        # pairs and the same keys (replicated node-scale compute needs
+        # identical sampling), matching the unsharded key-per-pair stream
+        def loss_fn(params):
+            losses, aux = jax.vmap(pair_loss, in_axes=(None, 0, 0, 0, 0))(
+                params, batch.points, batch.masks, batch.transform, keys
+            )
+            return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, ("dp", "mp"))
+        aux = jax.lax.pmean(aux, ("dp", "mp"))
+        state = state.apply_gradients(grads=grads)
+        aux = dict(aux)
+        aux["grad_norm"] = optax.global_norm(grads)
+        if return_grads:
+            aux["grads"] = grads
+        return state, aux
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            PairBatch(points=P("dp"), masks=P("dp"), transform=P("dp")),
+            P("dp"),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+
+    def step(state: TrainState, batch: PairBatch, rng):
+        keys = jax.random.split(rng, batch.points.shape[0])
+        return sharded(state, batch, keys)
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_train_multistep(cfg: LCRNetConfig, num_steps: int):

@@ -255,9 +255,10 @@ def test_sharded_step_collective_inventory_real_shapes(rng):
     # SPMD-safe MaskedGroupNorm rewrite; was 1363 MB before it).  The
     # residual traffic is the cross-shard banded-search blocks and conv
     # feature gathers + their backward scatter partial-sums — the automatic
-    # SPMD cost of point-axis mp.  The halo shard_map forward
-    # (lcrnet_tpu/parallel/) is the scalable path; tighten these bounds
-    # when training moves onto it.
+    # SPMD cost of point-axis mp.  The ring-halo shard_map train step
+    # (engine/train.py::make_train_step_mp) is the scalable alternative:
+    # 244 MB/step at the same shapes (tests/test_halo.py::
+    # test_mp_train_step_collective_inventory_real_shapes).
     total = sum(d["bytes"] for d in inv)
     assert total < 1000e6, f"mp collective traffic grew: {total / 1e6:.0f} MB"
     biggest = max((d["bytes"] for d in inv), default=0)

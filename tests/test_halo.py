@@ -101,6 +101,105 @@ def test_mp_forward_matches_plain(rng):
 
 
 @pytest.mark.slow
+def test_mp_train_step_matches_unsharded(rng):
+    """One optimizer step of the ring-halo (dp, mp) shard_map train step
+    equals the plain unsharded step: same pairs, same RNG key stream, same
+    resulting parameters.  This pins the gradient-scaling argument in
+    make_train_step_mp's docstring (all-gather transpose × uniform pmean =
+    exact full-batch gradient)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs forced host devices")
+    from jax.sharding import Mesh
+
+    from lcrnet_tpu.config import make_test_cfg
+    from lcrnet_tpu.engine.train import (
+        PairBatch, create_train_state, make_train_step, make_train_step_mp,
+    )
+    from lcrnet_tpu.pipeline import init_params
+
+    cfg = make_test_cfg()
+    n0 = cfg.shapes.points[0]
+    pts = np.zeros((2, 2, n0, 3), np.float32)
+    msk = np.zeros((2, 2, n0), bool)
+    tfs = np.zeros((2, 4, 4), np.float32)
+    for i in range(2):
+        ref, src, t = make_pair(rng, n=400)
+        for j, cloud in enumerate((ref, src)):
+            pts[i, j, : len(cloud)] = cloud
+            pts[i, j, len(cloud):] = 1.0e6
+            msk[i, j, : len(cloud)] = True
+        tfs[i] = t
+    batch = PairBatch(jnp.asarray(pts), jnp.asarray(msk), jnp.asarray(tfs))
+
+    params = init_params(cfg)
+    key = jax.random.PRNGKey(3)
+
+    state0 = create_train_state(cfg, jax.tree.map(jnp.copy, params))
+    state0, m0 = jax.jit(make_train_step(cfg, return_grads=True))(state0, batch, key)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("dp", "mp"))
+    state1 = create_train_state(cfg, jax.tree.map(jnp.copy, params))
+    state1, m1 = make_train_step_mp(cfg, mesh, return_grads=True)(state1, batch, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-4)
+    # compare raw GRADIENTS, per-leaf scaled: post-Adam params are a pure
+    # sign test on the gradient (first-step update = +-lr), which amplifies
+    # fp reduction-order noise on near-zero entries into full sign flips
+    flat0 = jax.tree_util.tree_flatten_with_path(m0["grads"])[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(m1["grads"])[0]
+    for (p0, g0), (p1, g1) in zip(flat0, flat1, strict=True):
+        assert p0 == p1
+        g0, g1 = np.asarray(g0), np.asarray(g1)
+        # atol floor 1e-5: leaves with mathematically-zero gradient (e.g.
+        # conv biases immediately mean-subtracted by GroupNorm) carry only
+        # f32 cancellation residue (~1e-6), whose reduction order differs
+        scale = float(np.max(np.abs(g0))) + 1e-8
+        np.testing.assert_allclose(
+            g1, g0, rtol=1e-2, atol=max(1e-5, 1e-4 * scale),
+            err_msg=jax.tree_util.keystr(p0))
+
+
+@pytest.mark.slow
+def test_mp_train_step_collective_inventory_real_shapes():
+    """Traffic guard for the halo train step at the PRODUCTION shape budget:
+    measured 244 MB/step on a (dp=4, mp=2) mesh vs 908 MB for the
+    XLA-propagation path (tests/test_engine.py::
+    test_sharded_step_collective_inventory_real_shapes) — the biggest single
+    payload must stay the parameter-gradient all-reduce scale (~21 MB
+    activation gathers: the decoder exit and the stage-1->2 transition),
+    never a full point-axis activation re-materialization."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs forced host devices")
+    from jax.sharding import Mesh
+
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.engine.train import (
+        PairBatch, create_train_state, make_train_step_mp,
+    )
+    from lcrnet_tpu.parallel.analyze import collective_inventory
+    from lcrnet_tpu.pipeline import init_params
+
+    cfg = make_cfg()
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2), ("dp", "mp"))
+    params = jax.eval_shape(lambda: init_params(cfg))
+    state = jax.eval_shape(lambda p: create_train_state(cfg, p, 10), params)
+    step = make_train_step_mp(cfg, mesh)
+    n0 = cfg.shapes.points[0]
+    batch = PairBatch(
+        jax.ShapeDtypeStruct((4, 2, n0, 3), jnp.float32),
+        jax.ShapeDtypeStruct((4, 2, n0), jnp.bool_),
+        jax.ShapeDtypeStruct((4, 4, 4), jnp.float32),
+    )
+    comp = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    inv = collective_inventory(comp)
+    total = sum(d["bytes"] for d in inv)
+    assert total < 300e6, f"halo traffic grew: {total / 1e6:.0f} MB"
+    gathers = [d["bytes"] for d in inv if d["op"] == "all-gather"]
+    assert max(gathers, default=0) < 25e6, (
+        f"oversized all-gather: {max(gathers) / 1e6:.0f} MB")
+
+
+@pytest.mark.slow
 def test_halo_coverage_on_real_scan():
     """The banded-table invariant the halo design rests on, pinned on a real
     KITTI scan at mp=4: every valid neighbor index of the sharded stages
