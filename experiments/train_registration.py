@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--max_epoch", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dp", type=int, default=None, help="data-parallel width")
+    ap.add_argument("--mp", type=int, default=1,
+                    help="point-axis (model-parallel) width per pair")
+    ap.add_argument("--halo", action="store_true",
+                    help="use the explicit ring-halo shard_map train step "
+                         "(engine/train.py::make_train_step_mp) instead of "
+                         "XLA sharding propagation")
     ap.add_argument("--chunk", type=int, default=1,
                     help="optimizer steps per device dispatch (single-chip; "
                          "amortizes relay dispatch latency)")
@@ -80,7 +86,11 @@ def main():
     dataset = Concat(datasets)
     steps_per_epoch = len(dataset) // args.batch_size
 
-    mesh = make_mesh(dp=args.dp) if args.dp else None
+    mesh = (
+        make_mesh(dp=args.dp, mp=args.mp)
+        if (args.dp or args.mp > 1 or args.halo)
+        else None
+    )
 
     epoch_counter = [0]
 
@@ -95,6 +105,7 @@ def main():
         steps_per_epoch=steps_per_epoch,
         mesh=mesh,
         chunk=args.chunk,
+        halo=args.halo,
     )
     if args.resume:
         trainer.resume()

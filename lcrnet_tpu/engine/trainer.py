@@ -40,13 +40,19 @@ class EpochTrainer:
         mesh=None,
         eval_step=None,
         chunk: int = 1,
+        halo: bool = False,
     ):
         # chunk > 1 scans K optimizer steps per dispatch (identical math;
         # amortizes the relay's per-program host round-trip — see
         # make_train_multistep).  Single-chip only; leftover batches at the
         # epoch tail run through the per-step path.
+        # halo=True uses the explicit ring-halo (dp, mp) shard_map step
+        # (make_train_step_mp) instead of XLA sharding propagation — same
+        # math, ~4x less collective traffic at production shapes.
         if chunk > 1 and mesh is not None:
             raise ValueError("chunked stepping is single-chip only (mesh=None)")
+        if halo and mesh is None:
+            raise ValueError("halo stepping needs a ('dp', 'mp') mesh")
         self.cfg = cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -57,7 +63,12 @@ class EpochTrainer:
         self.val_every = val_every
         self.logger = make_logger(osp.join(output_dir, "logs", "train.log"))
         self.events = EventWriter(osp.join(output_dir, "events"))
-        self.step_fn = make_train_step(cfg, mesh=mesh)
+        if halo:
+            from lcrnet_tpu.engine.train import make_train_step_mp
+
+            self.step_fn = make_train_step_mp(cfg, mesh)
+        else:
+            self.step_fn = make_train_step(cfg, mesh=mesh)
         self.chunk = chunk
         if chunk > 1:
             from lcrnet_tpu.engine.train import make_train_multistep

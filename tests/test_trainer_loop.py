@@ -119,3 +119,38 @@ def test_run_iterations_chunked_budget_exact(tmp_path, rng):
     )
     trainer.run_iterations(max_iterations=5, snapshot_every=100)
     assert trainer.iteration == 5
+
+
+@pytest.mark.slow
+def test_trainer_halo_epoch(tmp_path, rng):
+    """EpochTrainer(halo=True) trains an epoch through the ring-halo
+    shard_map step on a (dp=1, mp=2) mesh and produces finite metrics."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs forced host devices")
+    from lcrnet_tpu.parallel.mesh import make_mesh
+
+    cfg = make_test_cfg()
+    scans = {}
+    pairs = []
+    for i in range(2):
+        r = np.random.default_rng(400 + i)
+        ref, src, t = make_pair(r, n=320)
+        scans[2 * i] = src
+        scans[2 * i + 1] = ref
+        pairs.append({"anc_idx": 2 * i, "pos_idx": 2 * i + 1, "transform": t})
+    ds = RegistrationPairDataset(lambda i: scans[i], pairs, cfg)
+
+    def loader():
+        return pair_loader(ds, batch_size=1, shuffle=False, drop_last=False)
+
+    trainer = EpochTrainer(
+        cfg, loader, output_dir=str(tmp_path / "run"),
+        steps_per_epoch=2, log_steps=1,
+        mesh=make_mesh(dp=1, mp=2), halo=True,
+    )
+    trainer.run(max_epoch=1)
+    assert trainer.epoch == 1
+
+    # halo without a mesh is a configuration error
+    with pytest.raises(ValueError):
+        EpochTrainer(cfg, loader, output_dir=str(tmp_path / "y"), halo=True)
