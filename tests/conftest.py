@@ -20,7 +20,29 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite compiles several full-model
 # programs (~minutes each on CPU); repeat runs hit the disk cache instead.
-_CACHE_DIR = os.environ.get("LCRNET_JAX_CACHE", "/tmp/lcrnet_jax_cache")
+# The path is keyed by the host's CPU feature set: XLA:CPU AOT entries baked
+# under different features SIGABRT the interpreter when loaded on a host
+# without them (observed twice across VM migrations — cpu_aot_loader
+# "machine feature not supported" warnings are the tell).
+
+
+def _cpu_feature_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofeat"
+
+
+_CACHE_DIR = os.environ.get(
+    "LCRNET_JAX_CACHE", f"/tmp/lcrnet_jax_cache_{_cpu_feature_tag()}"
+)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
