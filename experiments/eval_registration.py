@@ -4,9 +4,11 @@
 Parity target: `experiments/registration/eval.py:25-314`: coarse PIR, fine
 IR/FMR, pose errors (RRE/RTE + per-axis RPY), RR = (RRE < 5 deg, RTE < 2 m).
 Pose methods: `lgr` (stored estimate), `svd` (weighted Procrustes refit on
-the dumped correspondences), or `ransac` (native batched correspondence
+the dumped correspondences), `ransac` (native batched correspondence
 RANSAC, `lcrnet_tpu/ops/ransac.py` — same defaults as the reference's
-open3d path, `config_reg.py:69-73`).
+open3d path, `config_reg.py:69-73`), or `gnc` (native GNC-TLS,
+`lcrnet_tpu/ops/gnc.py` — the reference's optional teaserpp method,
+`eval.py:197-218`, same noise_bound/gnc_factor/iteration defaults).
 """
 
 import argparse
@@ -22,12 +24,15 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--feature_dir", required=True)
-    ap.add_argument("--method", choices=["lgr", "svd", "ransac"], default="lgr")
+    ap.add_argument("--method", choices=["lgr", "svd", "ransac", "gnc"], default="lgr")
     ap.add_argument("--ir_radius", type=float, default=0.6)
     ap.add_argument("--ir_threshold", type=float, default=0.05)
     ap.add_argument("--ransac_threshold", type=float, default=0.3)
     ap.add_argument("--ransac_n", type=int, default=4)
     ap.add_argument("--ransac_iterations", type=int, default=50000)
+    ap.add_argument("--gnc_noise_bound", type=float, default=0.3)
+    ap.add_argument("--gnc_factor", type=float, default=1.4)
+    ap.add_argument("--gnc_iterations", type=int, default=100)
     args = ap.parse_args()
 
     from lcrnet_tpu.engine.meters import SummaryBoard
@@ -82,6 +87,22 @@ def main():
                     distance_threshold=args.ransac_threshold,
                     num_samples=args.ransac_n,
                     num_iterations=args.ransac_iterations,
+                )
+            )
+        elif args.method == "gnc":
+            import jax.numpy as jnp
+
+            from lcrnet_tpu.ops.gnc import gnc_tls_registration
+
+            # fixed-capacity call so every pair reuses one compiled program
+            est = np.asarray(
+                gnc_tls_registration(
+                    jnp.asarray(d["src_corr_points"]),
+                    jnp.asarray(d["ref_corr_points"]),
+                    jnp.asarray(d["corr_valid"].astype(bool)),
+                    noise_bound=args.gnc_noise_bound,
+                    gnc_factor=args.gnc_factor,
+                    max_iterations=args.gnc_iterations,
                 )
             )
         else:
