@@ -117,6 +117,7 @@ def main():
 
     if args.gt_file:
         from lcrnet_tpu.utils.retrieval import (
+            save_pr_curve_png,
             save_predicted_distances,
             save_retrieval_artifacts,
         )
@@ -126,6 +127,7 @@ def main():
         save_retrieval_artifacts(
             osp.join(args.descriptor_dir, f"seq{args.seq:02d}_pr_curve.npz"), res
         )
+        save_pr_curve_png(osp.join(args.descriptor_dir, "PRC.png"), res)
         save_predicted_distances(
             osp.join(args.descriptor_dir, "predicted_des_L2_dis.npz"), res
         )

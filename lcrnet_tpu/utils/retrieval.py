@@ -39,6 +39,7 @@ def causal_topk_search(
     eligible candidates get distance _BIG.
     """
     n, d = descriptors.shape
+    k = min(k, n)  # tiny sequences: the database can't hold k candidates
     pad = (-n) % block
     q = jnp.pad(descriptors, ((0, pad), (0, 0)))
     row_ids = jnp.pad(jnp.arange(n), (0, pad), constant_values=-1)
@@ -191,3 +192,34 @@ def save_retrieval_artifacts(path: str, results: Dict):
         F1max=results["F1max"],
         AUC=results["AUC"],
     )
+
+
+def save_pr_curve_png(path: str, results: Dict) -> bool:
+    """Render the precision-recall curve to PNG (reference saves `PRC.png`,
+    `eval_loop_detection_overlap_dataset.py:249-253`).  matplotlib-optional:
+    returns False (no file) when it is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    r = np.asarray(results.get("recalls", np.zeros(0)))
+    p = np.asarray(results.get("precisions", np.zeros(0)))
+    order = np.argsort(r)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot(r[order], p[order], marker=".", linewidth=1.2)
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1.02)
+    ax.set_ylim(0, 1.02)
+    ax.set_title(f"AUC {results['AUC']:.3f}  F1max {results['F1max']:.3f}")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return True

@@ -72,3 +72,16 @@ def test_vector_angle_known():
     np.testing.assert_allclose(float(vector_angle(a, b, degrees=True)), 90.0, atol=1e-5)
     np.testing.assert_allclose(float(vector_angle(a, a, degrees=True)), 0.0, atol=1e-5)
     np.testing.assert_allclose(float(vector_angle(a, -a, degrees=True)), 180.0, atol=1e-4)
+
+
+def test_chamfer_arbitrary_dims(rng):
+    """Capability parity with the reference's vendored 2D/5D/6D chamfer
+    kernels (`modules/ChamferDistancePytorch/chamfer{2,5,6}D`): the masked
+    formulation is dimension-agnostic."""
+    for d in (2, 5, 6):
+        x = rng.normal(size=(40, d)).astype(np.float32)
+        y = rng.normal(size=(30, d)).astype(np.float32)
+        dx, dy = chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+        d2 = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(dx), d2.min(1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dy), d2.min(0), rtol=1e-4, atol=1e-5)

@@ -164,3 +164,38 @@ def test_save_predicted_distances_format(tmp_path, rng):
     assert len(arr) == n - 150
     assert (arr[:, 0] >= 150).all()
     assert (arr[:, 2] >= 0).all()
+
+
+def test_save_pr_curve_png(tmp_path, rng):
+    """PRC.png parity artifact (reference
+    `eval_loop_detection_overlap_dataset.py:249-253`)."""
+    from lcrnet_tpu.utils.retrieval import save_pr_curve_png
+
+    n, d = 300, 16
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    gt = [np.zeros(0)] * n
+    for i in range(250, 260):
+        desc[i] = desc[i - 200]
+        gt[i] = np.asarray([i - 200])
+    res = evaluate_loop_detection(desc, gt, exclusion=100, start_frame=150)
+    p = str(tmp_path / "PRC.png")
+    wrote = save_pr_curve_png(p, res)
+    import os
+
+    assert wrote == os.path.exists(p)
+    if wrote:
+        assert os.path.getsize(p) > 1000
+
+
+def test_evaluate_loop_detection_tiny_sequence(rng):
+    """Sequences shorter than the top-k must not crash (found by driving
+    the test_loop_detection CLI on a 4-frame directory): k clamps to N."""
+    n, d = 4, 16
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    desc[3] = desc[1]
+    gt = [np.zeros(0)] * n
+    gt[3] = np.asarray([1])
+    res = evaluate_loop_detection(desc, gt, exclusion=1, start_frame=0)
+    assert res["Recall@1"] == 1.0
