@@ -31,7 +31,8 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 2.5  # estimated reference end-to-end rate (see above)
 DEMO_DIR = "/root/reference/demo/data_demo"
 # bf16 peak of one TPU v5e chip (MXU), for the MFU denominator
-PEAK_FLOPS = 394e12
+# (197 bf16 TFLOPS; the oft-quoted 394 figure is int8 TOPS)
+PEAK_FLOPS = 197e12
 
 
 def _sync(x):

@@ -146,32 +146,13 @@ def run_registration_eval(cfg, params, scans, gt_pairs, feature_dir):
 
     model = LCRNet(cfg)
 
+    from lcrnet_tpu.utils.dumps import registration_dump_arrays
+
     def run_pair(params, points, masks, transform):
         pyramid = build_batch_pyramid(points, masks, cfg)
         out = model.apply(params, pyramid, transform, training=False)
         metrics = evaluate_pair(out, transform, cfg)
-        keep = {
-            "ref_points_f": out["points_f"][0],
-            "src_points_f": out["points_f"][1],
-            "ref_masks_f": out["masks_f"][0],
-            "src_masks_f": out["masks_f"][1],
-            "ref_nodes": out["nodes"][0],
-            "src_nodes": out["nodes"][1],
-            "node_masks": out["node_masks"],
-            "ref_node_corr_indices": out["ref_node_corr_indices"],
-            "src_node_corr_indices": out["src_node_corr_indices"],
-            "node_corr_valid": out["node_corr_valid"],
-            "ref_corr_points": out["ref_corr_points"],
-            "src_corr_points": out["src_corr_points"],
-            "corr_scores": out["corr_scores"],
-            "corr_valid": out["corr_valid"],
-            "estimated_transform": out["estimated_transform"],
-            "gt_node_corr_ref": out["gt_node_corr"].ref_indices,
-            "gt_node_corr_src": out["gt_node_corr"].src_indices,
-            "gt_node_corr_overlaps": out["gt_node_corr"].overlaps,
-            "gt_node_corr_valid": out["gt_node_corr"].valid,
-        }
-        return keep, metrics
+        return registration_dump_arrays(out), metrics
 
     run_pair = _EVAL_FN_CACHE.setdefault(("run_pair", cfg), jax.jit(run_pair))
 
@@ -347,7 +328,14 @@ def main():
                       f"({rate:.2f} steps/s)", flush=True)
                 for k, v in m.items():
                     events.add_scalar(k, v, i + 1)
-            if args.eval_every and (i + 1) % args.eval_every == 0 and (i + 1) < args.steps:
+            # chunk-aware cadence: fire when this K-step dispatch crossed an
+            # eval_every boundary (plain modulo would only fire at multiples
+            # of lcm(chunk, eval_every))
+            crossed = (
+                args.eval_every
+                and (i + 1) // args.eval_every > (i + 1 - k_steps) // args.eval_every
+            )
+            if crossed and (i + 1) < args.steps:
                 save_snapshot(osp.join(args.output, "snapshots"), i + 1, state.eval_params, None)
                 evals = run_registration_eval(
                     cfg, state.eval_params, scans, gt_pairs, osp.join(args.output, "features"))

@@ -15,6 +15,7 @@ import argparse
 import glob
 import os.path as osp
 import sys
+import zlib
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
@@ -83,7 +84,7 @@ def main():
                     jnp.asarray(src_all),
                     jnp.asarray(ref_all),
                     jnp.asarray(d["corr_valid"].astype(bool)),
-                    jax.random.PRNGKey(abs(hash(osp.basename(f))) % (2**31)),
+                    jax.random.PRNGKey(zlib.crc32(osp.basename(f).encode())),
                     distance_threshold=args.ransac_threshold,
                     num_samples=args.ransac_n,
                     num_iterations=args.ransac_iterations,

@@ -56,30 +56,11 @@ def main():
 
     model = LCRNet(cfg)
 
+    from lcrnet_tpu.utils.dumps import registration_dump_arrays
+
     def keep_and_metrics(out, transform):
         metrics = evaluate_pair(out, transform, cfg)
-        keep = {
-            "ref_points_f": out["points_f"][0],
-            "src_points_f": out["points_f"][1],
-            "ref_masks_f": out["masks_f"][0],
-            "src_masks_f": out["masks_f"][1],
-            "ref_nodes": out["nodes"][0],
-            "src_nodes": out["nodes"][1],
-            "node_masks": out["node_masks"],
-            "ref_node_corr_indices": out["ref_node_corr_indices"],
-            "src_node_corr_indices": out["src_node_corr_indices"],
-            "node_corr_valid": out["node_corr_valid"],
-            "ref_corr_points": out["ref_corr_points"],
-            "src_corr_points": out["src_corr_points"],
-            "corr_scores": out["corr_scores"],
-            "corr_valid": out["corr_valid"],
-            "estimated_transform": out["estimated_transform"],
-            "gt_node_corr_ref": out["gt_node_corr"].ref_indices,
-            "gt_node_corr_src": out["gt_node_corr"].src_indices,
-            "gt_node_corr_overlaps": out["gt_node_corr"].overlaps,
-            "gt_node_corr_valid": out["gt_node_corr"].valid,
-        }
-        return keep, metrics
+        return registration_dump_arrays(out), metrics
 
     @jax.jit
     def run_pair(params, points, masks, transform):
@@ -133,17 +114,37 @@ def main():
     from lcrnet_tpu.data.loader import prefetch
 
     write_q: "Queue" = Queue(maxsize=4)
+    write_err = []
 
     def writer():
         while True:
             item = write_q.get()
-            if item is None:
-                return
-            path, payload = item
-            np.savez_compressed(path, **payload)
+            try:
+                if item is None:
+                    return
+                path, payload = item
+                np.savez_compressed(path, **payload)
+            except BaseException as e:  # noqa: BLE001 — surface in main loop
+                write_err.append(e)
+                return  # keep draining impossible; main loop raises below
+            finally:
+                write_q.task_done()
 
     wt = Thread(target=writer, daemon=True)
     wt.start()
+
+    def _safe_put(item):
+        # a dead writer would otherwise deadlock the bounded queue
+        from queue import Full
+
+        while True:
+            if write_err:
+                raise RuntimeError("npz writer thread failed") from write_err[0]
+            try:
+                write_q.put(item, timeout=5.0)
+                return
+            except Full:
+                continue
 
     def dump_name(sample):
         return (f'{int(seq):02d}_{sample["anc_idx"]}_{sample["pos_idx"]}.npz'
@@ -157,7 +158,7 @@ def main():
         nonlocal done
         keep = {k: np.asarray(v) for k, v in keep.items()}
         keep["transform"] = sample["transform"]
-        write_q.put((osp.join(args.feature_dir, dump_name(sample)), keep))
+        _safe_put((osp.join(args.feature_dir, dump_name(sample)), keep))
         board.update_from_dict({k: float(v) for k, v in metrics.items()})
         done += 1
         if done % 20 == 0:
@@ -197,8 +198,10 @@ def main():
                     {k: v[i] for k, v in keeps.items()},
                     {k: v[i] for k, v in mets.items()},
                 )
-    write_q.put(None)
+    _safe_put(None)
     wt.join()
+    if write_err:
+        raise RuntimeError("npz writer thread failed") from write_err[0]
     print(f"done: {board.format()}")
 
 

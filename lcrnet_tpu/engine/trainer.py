@@ -101,6 +101,21 @@ class EpochTrainer:
         self.epoch = step
         self.logger.info(f"resumed from epoch {step}")
 
+    def _dispatch_chunk(self, pending):
+        """Stack K pending batches into one (K, ...) PairBatch and run the
+        K-step device program (shared by epoch and iteration trainers)."""
+        import jax.numpy as jnp
+
+        stacked = PairBatch(
+            jnp.stack([b.points for b in pending]),
+            jnp.stack([b.masks for b in pending]),
+            jnp.stack([b.transform for b in pending]),
+        )
+        self.rng, key = jax.random.split(self.rng)
+        self.state, metrics = self.multistep_fn(self.state, stacked, key)
+        jax.block_until_ready(metrics["loss"])
+        return metrics
+
     def train_epoch(self):
         board = SummaryBoard(window=self.log_steps * 5)
         timer = Timer()
@@ -110,16 +125,7 @@ class EpochTrainer:
 
         def flush_chunk():
             nonlocal it
-            import jax.numpy as jnp
-
-            stacked = PairBatch(
-                jnp.stack([b.points for b in pending]),
-                jnp.stack([b.masks for b in pending]),
-                jnp.stack([b.transform for b in pending]),
-            )
-            self.rng, key = jax.random.split(self.rng)
-            self.state, metrics = self.multistep_fn(self.state, stacked, key)
-            jax.block_until_ready(metrics["loss"])
+            metrics = self._dispatch_chunk(pending)
             self.iteration += len(pending)
             it += len(pending)
             pending.clear()
@@ -184,17 +190,8 @@ class EpochTrainer:
                     pending.append(batch)
                     if len(pending) < self.chunk:
                         continue
-                    import jax.numpy as jnp
-
-                    stacked = PairBatch(
-                        jnp.stack([b.points for b in pending]),
-                        jnp.stack([b.masks for b in pending]),
-                        jnp.stack([b.transform for b in pending]),
-                    )
+                    metrics = self._dispatch_chunk(pending)
                     pending = []
-                    self.rng, key = jax.random.split(self.rng)
-                    self.state, metrics = self.multistep_fn(self.state, stacked, key)
-                    jax.block_until_ready(metrics["loss"])
                     stride = self.chunk
                 else:
                     # drain any partial chunk first so no sample is dropped

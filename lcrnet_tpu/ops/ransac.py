@@ -53,8 +53,12 @@ def correspondence_ransac(
     """
     c = src_points.shape[0]
     valid_f = valid.astype(src_points.dtype)
-    # sample only valid correspondences (uniform over the unpadded set)
-    probs = valid_f / jnp.maximum(jnp.sum(valid_f), 1.0)
+    # sample only valid correspondences (uniform over the unpadded set);
+    # an all-invalid set (a legitimately failed pair dump) falls back to
+    # uniform sampling so the program stays finite instead of feeding
+    # jax.random.choice a zero probability vector
+    total = jnp.sum(valid_f)
+    probs = jnp.where(total > 0, valid_f / jnp.maximum(total, 1.0), 1.0 / c)
     idx = jax.random.choice(
         key, c, shape=(num_iterations, num_samples), replace=True, p=probs
     )

@@ -47,6 +47,23 @@ def test_ransac_beats_svd_under_outliers(rng):
     assert rre_svd > rre_rans and rte_svd > rte_rans
 
 
+def test_ransac_all_invalid_stays_finite(rng):
+    """A dump from a legitimately failed pair can have zero valid
+    correspondences; the estimator must fall back to uniform sampling and
+    return a finite transform instead of NaNs from a zero probability
+    vector."""
+    src = rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+    ref = rng.uniform(-20, 20, (64, 3)).astype(np.float32)
+    valid = jnp.zeros(64, bool)
+    est = np.asarray(
+        correspondence_ransac(
+            jnp.asarray(src), jnp.asarray(ref), valid, jax.random.PRNGKey(2),
+            distance_threshold=0.3, num_iterations=64,
+        )
+    )
+    assert np.isfinite(est).all()
+
+
 def test_ransac_respects_validity_mask(rng):
     """Padded (invalid) correspondences are pure garbage; masking must keep
     them out of both sampling and inlier counting."""
