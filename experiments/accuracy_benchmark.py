@@ -55,20 +55,9 @@ def load_demo_scans():
 
 def load_gt_pairs():
     """The GT (anc, pos, transform src->ref) rows among the demo frames."""
-    rows = np.load(GT_NPZ, allow_pickle=True)["data"]
-    demo = set(DEMO_FRAMES)
-    pairs = []
-    for r in rows:
-        anc = int(r["anc_idx"])
-        if anc not in demo:
-            continue
-        poss = np.atleast_1d(r["pos_idx"]).astype(int)
-        ts = np.asarray(r["pose"]).reshape(-1, 4, 4)
-        for k, p in enumerate(poss):
-            if int(p) in demo:
-                pairs.append({"anc_idx": anc, "pos_idx": int(p),
-                              "transform": ts[k].astype(np.float32)})
-    return pairs
+    from lcrnet_tpu.data.kitti import load_pair_npz_mixed
+
+    return load_pair_npz_mixed(GT_NPZ, frames=set(DEMO_FRAMES))
 
 
 def sector_crop(points, rng, width_deg=300.0):

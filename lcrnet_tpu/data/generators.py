@@ -132,6 +132,104 @@ def generate_loop_pairs(
     return pairs
 
 
+def generate_loop_rows(
+    poses: np.ndarray,
+    max_distance: float = 4.0,
+    lag: int = 50,
+    start: int = 100,
+    seq_id: int = 0,
+) -> List[dict]:
+    """Distance-loop GT rows in the reference's row-of-dicts schema
+    (`generate_kitti_loop_pairs.py::generate_kitti_loop_pairs_distance_npz`):
+    for each frame i >= `start`, every frame j <= i - `lag` within
+    `max_distance` becomes a positive, pose = inv(poses[j]) @ poses[i]
+    (anchor points into the pos frame)."""
+    positions = poses[:, :3, 3]
+    rows = []
+    for i in range(start, len(poses)):
+        cand = positions[: max(i - lag + 1, 0)]
+        if len(cand) == 0:
+            continue
+        d = np.linalg.norm(cand - positions[i], axis=1)
+        js = np.nonzero(d < max_distance)[0]
+        if len(js) == 0:
+            continue
+        rel = np.stack([relative_transform(poses[j], poses[i]) for j in js])
+        rows.append({"seq_id": seq_id, "anc_idx": i,
+                     "pos_idx": js.astype(np.int64), "pose": rel.astype(np.float64)})
+    return rows
+
+
+def generate_mixed_rows(
+    poses: np.ndarray,
+    anchor_min_distance: float = 10.0,
+    window: int = 100,
+    pos_min_distance: float = 1.0,
+    pos_max_distance: float = 15.0,
+    loop_max_distance: float = 10.0,
+    seq_id: int = 0,
+) -> List[dict]:
+    """The reference's "mixed" GT rows (`generate_kitti_pairs_mixed.py::
+    prepare_kitti_pairs`): walk the trajectory emitting, per anchor, every
+    frame in the next `window` frames at (pos_min, pos_max) distance, then
+    advance to the first frame > `anchor_min_distance` away; append the
+    distance-loop rows (reference appends
+    `generate_kitti_loop_pairs_distance_npz(seq, root, 10., True)`).
+
+    Deviation: the reference does not advance the anchor when a window has
+    a far frame but no (1, 15) m frames, which would loop forever; we
+    advance by one frame in that case.
+    """
+    positions = poses[:, :3, 3]
+    n = len(poses)
+    rows = []
+    curr = 0
+    while curr < n:
+        window_d = np.linalg.norm(
+            positions[curr : curr + window] - positions[curr], axis=1
+        )
+        far = np.nonzero(window_d > anchor_min_distance)[0]
+        if len(far) == 0:
+            curr += 1
+            continue
+        next_time = far[0] + curr - 1  # reference keeps the -1 overlap
+        cal = np.nonzero(
+            (window_d > pos_min_distance) & (window_d < pos_max_distance)
+        )[0] + curr
+        if len(cal) > 0:
+            rel = np.stack([relative_transform(poses[j], poses[curr]) for j in cal])
+            rows.append({"seq_id": seq_id, "anc_idx": curr,
+                         "pos_idx": cal.astype(np.int64), "pose": rel.astype(np.float64)})
+            curr = max(next_time, curr + 1)
+        else:
+            curr += 1  # deviation: reference would spin here
+    rows.extend(generate_loop_rows(poses, loop_max_distance, seq_id=seq_id))
+    return rows
+
+
+def write_pairs_text(path: str, pairs: List[dict]) -> None:
+    """Write flat pairs in the reference's registration text format
+    (`icp10/SS`: lines `anc pos r00 r01 r02 t0 ... r23`) — round-trips
+    through `data/kitti.py::load_pair_text`."""
+    lines = []
+    for p in pairs:
+        row = [str(p["anc_idx"]), str(p["pos_idx"])]
+        row += [repr(float(v)) for v in np.asarray(p["transform"])[:3, :4].reshape(-1)]
+        lines.append(" ".join(row))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_pairs_npz(path: str, rows: List[dict]) -> None:
+    """Write GT rows in the reference's on-disk schema (one `data` object
+    array of per-anchor dicts) — round-trips through
+    `data/kitti.py::load_pair_npz_mixed`."""
+    arr = np.empty(len(rows), dtype=object)
+    for i, r in enumerate(rows):
+        arr[i] = r
+    np.savez_compressed(path, data=arr)
+
+
 def scan_overlap(
     ref: np.ndarray, src: np.ndarray, transform: np.ndarray, radius: float = 0.5
 ) -> float:

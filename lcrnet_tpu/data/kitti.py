@@ -114,6 +114,35 @@ def load_pair_npz(path: str) -> List[Dict]:
     return pairs
 
 
+def load_pair_npz_mixed(path: str, frames: Optional[set] = None) -> List[Dict]:
+    """Parse the reference's row-of-dicts pair npz (`mixed/SS.npz` and the
+    distance-loop npz family, reference `generate_kitti_pairs_mixed.py:155`):
+    a single `data` object array whose entries are
+    `{'seq_id', 'anc_idx', 'pos_idx': (k,), 'pose': (k, 4, 4)}` — each pose
+    maps anc-frame points into the matching pos frame (pos = ref scan).
+
+    Returns flat per-pair dicts; `frames` (if given) keeps only pairs whose
+    both endpoints are in the set.
+    """
+    rows = np.load(path, allow_pickle=True)["data"]
+    pairs: List[Dict] = []
+    for r in rows:
+        anc = int(r["anc_idx"])
+        if frames is not None and anc not in frames:
+            continue
+        poss = np.atleast_1d(np.asarray(r["pos_idx"])).astype(int)
+        ts = np.asarray(r["pose"], np.float32).reshape(-1, 4, 4)
+        for k, p in enumerate(poss):
+            if frames is None or int(p) in frames:
+                pairs.append({
+                    "seq_id": int(r.get("seq_id", 0)),
+                    "anc_idx": anc,
+                    "pos_idx": int(p),
+                    "transform": ts[k],
+                })
+    return pairs
+
+
 def yaw_rotation(angle: float) -> np.ndarray:
     c, s = np.cos(angle), np.sin(angle)
     return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)

@@ -203,3 +203,58 @@ def test_train_loop_detection_cli(tmp_path, rng):
     assert any((out / "snapshots").iterdir())
     log = (out / "logs" / "train.log").read_text()
     assert "epoch 1/1" in log and "nan" not in log.lower().replace("nan_", "")
+
+
+def test_generate_pairs_cli(tmp_path, rng):
+    """experiments/generate_pairs.py produces every reference GT artifact
+    (registration text, loop/mixed npz rows, overlap npz) from a KITTI-layout
+    tree, each parseable by the matching loader."""
+    root = tmp_path / "kitti"
+    seq_dir = root / "downsampled_xyzi" / "00"
+    seq_dir.mkdir(parents=True)
+    n = 300
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):  # two laps of a 20 m circle: revisits at lap = 150
+        a = 4 * np.pi * i / n
+        poses[i, 0, 3] = 20.0 * np.cos(a)
+        poses[i, 1, 3] = 20.0 * np.sin(a)
+        c, s = np.cos(a), np.sin(a)
+        poses[i, :3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    np.savetxt(root / "poses.txt", poses[:, :3, :4].reshape(n, 12))
+    base = (rng.random((400, 3)) * [8.0, 8.0, 1.0]).astype(np.float32)
+    for i in range(n):
+        np.save(seq_dir / f"{i:06d}.npy", base)
+
+    r = run_cli(
+        [
+            "experiments/generate_pairs.py",
+            "--dataset_root", str(root),
+            "--seq", "0",
+            "--pose_file", str(root / "poses.txt"),
+            "--tasks", "registration,loop,mixed,overlap",
+        ]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    from lcrnet_tpu.data.kitti import load_pair_npz_mixed, load_pair_text
+
+    reg = load_pair_text(str(root / "icp10" / "00"))
+    assert len(reg) > 5
+    pos = poses[:, :3, 3]
+    for p in reg:
+        assert np.linalg.norm(pos[p["pos_idx"]] - pos[p["anc_idx"]]) >= 10.0
+
+    loops = load_pair_npz_mixed(str(root / "loop_distance4" / "00.npz"))
+    assert loops and all(q["anc_idx"] - q["pos_idx"] >= 50 for q in loops)
+
+    mixed = load_pair_npz_mixed(str(root / "mixed" / "00.npz"))
+    assert len(mixed) > len(reg)
+
+    sys.path.insert(0, os.path.join(ROOT, "experiments"))
+    from test_loop_detection import load_overlap_gt
+
+    gt = load_overlap_gt(str(root / "loop_gt_seq00_0.3overlap.npz"), n)
+    hits = [(i, js) for i, js in enumerate(gt) if js]
+    assert hits  # identical scans at lap revisits overlap fully
+    for i, js in hits:
+        assert all(i - j > 100 for j in js)

@@ -187,3 +187,52 @@ def test_overlap_gt_writer_roundtrip(tmp_path):
     if osp.exists(ref_file):
         real = load_overlap_gt(ref_file, 4541)
         assert 958 in real[3854] and 26 in real[4481]
+
+
+def test_mixed_rows_roundtrip(tmp_path):
+    """generate_mixed_rows -> write_pairs_npz -> load_pair_npz_mixed emits
+    the reference mixed schema (`generate_kitti_pairs_mixed.py:155`): rows of
+    {seq_id, anc_idx, pos_idx (k,), pose (k,4,4)}, pose = anc points into the
+    pos frame; loop rows (distance < 10 m, 50-frame lag) are appended."""
+    from lcrnet_tpu.data.generators import generate_mixed_rows, write_pairs_npz
+    from lcrnet_tpu.data.kitti import load_pair_npz_mixed
+
+    poses = circle_poses()
+    rows = generate_mixed_rows(poses, seq_id=7)
+    assert len(rows) > 10
+    pos = poses[:, :3, 3]
+    # the walk emits anchors spaced by ~anchor_min_distance and positives
+    # in the (1, 15) m window; loop rows revisit with a >= 50 frame gap
+    saw_loop_row = False
+    for r in rows:
+        assert set(r) == {"seq_id", "anc_idx", "pos_idx", "pose"}
+        assert r["pose"].shape == (len(r["pos_idx"]), 4, 4)
+        if (r["pos_idx"] > r["anc_idx"]).any():  # registration-walk row
+            d = np.linalg.norm(pos[r["pos_idx"]] - pos[r["anc_idx"]], axis=1)
+            assert ((d > 1.0) & (d < 15.0)).all()
+        else:  # loop row
+            saw_loop_row = True
+            assert (r["anc_idx"] - r["pos_idx"] >= 50).all()
+    assert saw_loop_row
+
+    p = str(tmp_path / "00.npz")
+    write_pairs_npz(p, rows)
+    pairs = load_pair_npz_mixed(p)
+    assert len(pairs) == sum(len(r["pos_idx"]) for r in rows)
+    # direction: transform maps anc points into the pos frame
+    s = pairs[0]
+    expected = relative_transform(poses[s["pos_idx"]], poses[s["anc_idx"]])
+    np.testing.assert_allclose(s["transform"], expected, atol=1e-5)
+    assert s["seq_id"] == 7
+    # frames filter keeps only pairs with both endpoints in the set
+    some = {pairs[0]["anc_idx"], pairs[0]["pos_idx"]}
+    sub = load_pair_npz_mixed(p, frames=some)
+    assert all(q["anc_idx"] in some and q["pos_idx"] in some for q in sub)
+    assert len(sub) >= 1
+
+    ref_file = "/root/reference/assets/data/kitti/registration/mixed/00.npz"
+    if osp.exists(ref_file):
+        demo = {26, 560, 958, 3528, 3854, 4481}
+        real = load_pair_npz_mixed(ref_file, frames=demo)
+        got = {(q["anc_idx"], q["pos_idx"]) for q in real}
+        assert got == {(3528, 560), (3854, 958), (4481, 26)}
