@@ -21,7 +21,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
-    ap.add_argument("--seq", type=int, default=8)
+    ap.add_argument("--family", default="kitti",
+                    choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
+    ap.add_argument("--seq", default="8", help="sequence id (int or session name)")
     ap.add_argument("--num_frames", type=int, default=None)
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--threshold", type=float, default=0.11)
@@ -36,7 +38,8 @@ def main():
     import jax.numpy as jnp
 
     from lcrnet_tpu.config import make_cfg
-    from lcrnet_tpu.data.kitti import KittiScanSource, pad_points
+    from lcrnet_tpu.data.datasets import count_frames, make_sequence
+    from lcrnet_tpu.data.kitti import pad_points
     from lcrnet_tpu.engine.checkpoint import load_snapshot
     from lcrnet_tpu.pipeline import init_params, make_describe
     from lcrnet_tpu.utils.retrieval import causal_topk_search
@@ -46,11 +49,11 @@ def main():
     if args.snapshot:
         params = load_snapshot(args.snapshot, template={"params": params})["params"]
 
-    source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
-    frames = sorted(
-        glob.glob(osp.join(source.down_dir, "*.npy")) + glob.glob(osp.join(source.bin_dir, "*.bin"))
-    )
-    n = len(frames) if args.num_frames is None else min(args.num_frames, len(frames))
+    seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+    source = make_sequence(
+        args.family, args.dataset_root, seq, cfg.backbone.init_voxel_size)
+    total = count_frames(source)
+    n = total if args.num_frames is None else min(args.num_frames, total)
 
     describe = jax.jit(make_describe(cfg))
     cap = cfg.shapes.points[0]

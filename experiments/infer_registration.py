@@ -17,7 +17,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
-    ap.add_argument("--seq", type=int, default=8)
+    ap.add_argument("--family", default="kitti",
+                    choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
+    ap.add_argument("--seq", default="8", help="sequence id (int or session name)")
     ap.add_argument("--pair_file", required=True, help="text with `anc pos` per line")
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--output", default="output/inference/poses.txt")
@@ -27,7 +29,8 @@ def main():
     import jax.numpy as jnp
 
     from lcrnet_tpu.config import make_cfg
-    from lcrnet_tpu.data.kitti import KittiScanSource, pad_points
+    from lcrnet_tpu.data.datasets import count_frames, make_sequence
+    from lcrnet_tpu.data.kitti import pad_points
     from lcrnet_tpu.engine.checkpoint import load_snapshot
     from lcrnet_tpu.pipeline import init_params, make_pair_forward
 
@@ -36,7 +39,9 @@ def main():
     if args.snapshot:
         params = load_snapshot(args.snapshot, template={"params": params})["params"]
 
-    source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
+    seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+    source = make_sequence(
+        args.family, args.dataset_root, seq, cfg.backbone.init_voxel_size)
     pairs = np.loadtxt(args.pair_file).reshape(-1, 2).astype(int) if osp.exists(args.pair_file) else []
     fwd = jax.jit(make_pair_forward(cfg, with_global_head=False))
 

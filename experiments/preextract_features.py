@@ -34,7 +34,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
-    ap.add_argument("--seq", type=int, default=0)
+    ap.add_argument("--family", default="kitti",
+                    choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
+    ap.add_argument("--seq", default="0", help="sequence id (int or session name)")
     ap.add_argument("--num_frames", type=int, default=None)
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--output", default="output/preextract")
@@ -44,7 +46,8 @@ def main():
     import jax.numpy as jnp
 
     from lcrnet_tpu.config import make_cfg
-    from lcrnet_tpu.data.kitti import KittiScanSource, pad_points
+    from lcrnet_tpu.data.datasets import count_frames, make_sequence
+    from lcrnet_tpu.data.kitti import pad_points
     from lcrnet_tpu.engine.checkpoint import load_snapshot
     from lcrnet_tpu.models.lcrnet import LCRNet
     from lcrnet_tpu.pipeline import build_batch_pyramid, init_params
@@ -66,11 +69,12 @@ def main():
 
     encode = jax.jit(encode)
 
-    source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
-    frames = sorted(
-        glob.glob(osp.join(source.down_dir, "*.npy")) + glob.glob(osp.join(source.bin_dir, "*.bin"))
-    )
-    n = len(frames) if args.num_frames is None else min(args.num_frames, len(frames))
+    seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+    seq_tag = f"{seq:02d}" if isinstance(seq, int) else str(seq)
+    source = make_sequence(
+        args.family, args.dataset_root, seq, cfg.backbone.init_voxel_size)
+    total = count_frames(source)
+    n = total if args.num_frames is None else min(args.num_frames, total)
     os.makedirs(args.output, exist_ok=True)
     cap = cfg.shapes.points[0]
     for i in range(n):
@@ -78,7 +82,7 @@ def main():
         p, m = pad_points(scan, cap)
         feats, pts_c, msk_c = encode(params, jnp.asarray(p[None]), jnp.asarray(m[None]))
         np.savez_compressed(
-            osp.join(args.output, f"{args.seq:02d}_{i:06d}.npz"),
+            osp.join(args.output, f"{seq_tag}_{i:06d}.npz"),
             feats=np.asarray(feats[0]),
             points=np.asarray(pts_c[0]),
             mask=np.asarray(msk_c[0]),

@@ -55,7 +55,10 @@ def load_overlap_gt(path: str, n: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
-    ap.add_argument("--seq", type=int, default=0)
+    ap.add_argument("--family", default="kitti",
+                    choices=["kitti", "kitti360", "ford", "apollo", "mulran"],
+                    help="dataset family (reference evaluates KITTI + Ford)")
+    ap.add_argument("--seq", default="0", help="sequence id (int or session name)")
     ap.add_argument("--num_frames", type=int, default=None)
     ap.add_argument("--snapshot", default=None)
     ap.add_argument("--gt_file", default=None, help="overlap GT npz/text")
@@ -67,7 +70,8 @@ def main():
     import jax.numpy as jnp
 
     from lcrnet_tpu.config import make_cfg
-    from lcrnet_tpu.data.kitti import KittiScanSource, pad_points
+    from lcrnet_tpu.data.datasets import count_frames, make_sequence
+    from lcrnet_tpu.data.kitti import pad_points
     from lcrnet_tpu.engine.checkpoint import load_snapshot
     from lcrnet_tpu.pipeline import init_params, make_describe
     from lcrnet_tpu.utils.retrieval import evaluate_loop_detection
@@ -77,15 +81,12 @@ def main():
     if args.snapshot:
         params = load_snapshot(args.snapshot, template={"params": params})["params"]
 
-    source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
-    # frame count: probe the directory
-    import glob
-
-    frames = sorted(
-        glob.glob(osp.join(source.down_dir, "*.npy"))
-        + glob.glob(osp.join(source.bin_dir, "*.bin"))
-    )
-    n = len(frames) if args.num_frames is None else min(args.num_frames, len(frames))
+    seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+    seq_tag = f"{seq:02d}" if isinstance(seq, int) else str(seq)
+    source = make_sequence(
+        args.family, args.dataset_root, seq, cfg.backbone.init_voxel_size)
+    total = count_frames(source)
+    n = total if args.num_frames is None else min(args.num_frames, total)
     if n == 0:
         raise SystemExit("no scans found")
 
@@ -113,7 +114,7 @@ def main():
             rate = (start + args.batch) / (time.time() - t0)
             print(f"[{start + len(list(idxs))}/{n}] {rate:.1f} scans/s")
 
-    np.savez(osp.join(args.descriptor_dir, f"seq{args.seq:02d}_descriptors.npz"), descriptors=descs)
+    np.savez(osp.join(args.descriptor_dir, f"seq{seq_tag}_descriptors.npz"), descriptors=descs)
 
     if args.gt_file:
         from lcrnet_tpu.utils.retrieval import (
@@ -125,7 +126,7 @@ def main():
         gt = load_overlap_gt(args.gt_file, n)
         res = evaluate_loop_detection(descs, gt)
         save_retrieval_artifacts(
-            osp.join(args.descriptor_dir, f"seq{args.seq:02d}_pr_curve.npz"), res
+            osp.join(args.descriptor_dir, f"seq{seq_tag}_pr_curve.npz"), res
         )
         save_pr_curve_png(osp.join(args.descriptor_dir, "PRC.png"), res)
         save_predicted_distances(

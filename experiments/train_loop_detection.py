@@ -27,9 +27,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
+    ap.add_argument("--family", default="kitti",
+                    choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
     ap.add_argument("--tuple_file", required=True,
                     help="npz with anc_idx / pos_idx lists / neg_idx lists per row")
-    ap.add_argument("--seq", type=int, default=0)
+    ap.add_argument("--seq", default="0", help="sequence id (int or session name)")
     ap.add_argument("--output", default="output/loop_detection")
     ap.add_argument("--train_mode", choices=["online", "frozen"], default="online")
     ap.add_argument("--num_pos", type=int, default=1)
@@ -46,7 +48,8 @@ def main():
     import jax.numpy as jnp
 
     from lcrnet_tpu.config import make_cfg
-    from lcrnet_tpu.data.kitti import KittiScanSource, pad_points
+    from lcrnet_tpu.data.datasets import count_frames, make_sequence
+    from lcrnet_tpu.data.kitti import pad_points
     from lcrnet_tpu.engine.checkpoint import load_snapshot, save_snapshot
     from lcrnet_tpu.engine.logger import make_logger
     from lcrnet_tpu.engine.meters import SummaryBoard
@@ -63,7 +66,9 @@ def main():
 
     d = np.load(args.tuple_file, allow_pickle=True)
     tuples = list(zip(d["anc_idx"], d["pos_idx"], d["neg_idx"]))
-    source = KittiScanSource(args.dataset_root, args.seq, cfg.backbone.init_voxel_size)
+    seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+    source = make_sequence(
+        args.family, args.dataset_root, seq, cfg.backbone.init_voxel_size)
 
     frozen = args.train_mode == "frozen"
     state = create_train_state(

@@ -138,6 +138,21 @@ class MulranSequence:
         return voxel_downsample(pts, self.voxel_size)
 
 
+def count_frames(source) -> int:
+    """Number of frames a sequence scan source can serve (max over its
+    downsampled-npy and raw-bin directories; MulRan counts timestamps)."""
+    if hasattr(source, "stamps"):
+        return len(source.stamps)
+    counts = [0]
+    for attr in ("down_dir", "scan_dir", "bin_dir"):
+        d = getattr(source, attr, None)
+        if d and osp.isdir(d):
+            counts.append(
+                len([f for f in os.listdir(d) if f.endswith((".npy", ".bin", ".pcd"))])
+            )
+    return max(counts)
+
+
 def make_sequence(family: str, root: str, seq, voxel_size: float = 0.3):
     """Factory over all supported dataset families."""
     if family == "kitti":

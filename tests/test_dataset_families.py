@@ -115,3 +115,30 @@ def test_mulran_tree(tmp_path, rng):
     assert got.shape == (3, 4, 4)
     # frame index 1 resolves to the second timestamp-named scan
     assert seq(1).shape[1] == 3
+
+
+def test_count_frames_per_family(tmp_path, rng):
+    """count_frames serves every family's CLI frame probing (down_dir npy +
+    raw bin union; MulRan counts timestamps)."""
+    from lcrnet_tpu.data.datasets import count_frames
+    from lcrnet_tpu.data.kitti import KittiScanSource
+
+    root = str(tmp_path / "kitti")
+    os.makedirs(osp.join(root, "downsampled_xyzi", "00"))
+    for i in range(3):
+        np.save(osp.join(root, "downsampled_xyzi", "00", f"{i:06d}.npy"),
+                rng.random((10, 3)).astype(np.float32))
+    assert count_frames(KittiScanSource(root, 0)) == 3
+
+    froot = str(tmp_path / "ford")
+    d = osp.join(froot, "IJRR-Dataset-1")
+    os.makedirs(osp.join(d, "velodyne"))
+    for i in range(2):
+        _write_bin(osp.join(d, "velodyne", f"{i:06d}.bin"), rng)
+    assert count_frames(FordSequence(froot, 1)) == 2
+
+    mroot = str(tmp_path / "mul")
+    sd = osp.join(mroot, "mulran", "kaist01", "sensor_data", "Ouster")
+    os.makedirs(sd)
+    _write_bin(osp.join(sd, "1234.bin"), rng)
+    assert count_frames(make_sequence("mulran", mroot, "kaist01")) == 1
