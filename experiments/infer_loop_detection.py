@@ -32,8 +32,6 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     args = ap.parse_args()
 
-    import glob
-
     import jax
     import jax.numpy as jnp
 

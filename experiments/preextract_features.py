@@ -21,7 +21,6 @@ equivalent.
 """
 
 import argparse
-import glob
 import os
 import os.path as osp
 import sys

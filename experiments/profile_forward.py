@@ -35,9 +35,17 @@ DEMO_DIR = "/root/reference/demo/data_demo"
 
 
 def find_trace_files(trace_dir):
-    return glob.glob(
-        osp.join(trace_dir, "plugins", "profile", "*", "*.trace.json.gz")
-    ) + glob.glob(osp.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
+    """Trace files of the LATEST profiling run under trace_dir (each
+    jax.profiler.trace() session writes plugins/profile/<timestamp>/)."""
+    files = sorted(
+        set(glob.glob(osp.join(trace_dir, "**", "*.trace.json.gz"), recursive=True))
+    )
+    runs = defaultdict(list)
+    for f in files:
+        runs[osp.dirname(f)].append(f)
+    if not runs:
+        return []
+    return runs[max(runs)]  # newest session dir; all its files (multi-host)
 
 
 def load_events(trace_file):
@@ -177,7 +185,7 @@ def main():
     if not files:
         raise SystemExit(f"no trace.json.gz under {trace_dir}")
     merged = defaultdict(lambda: defaultdict(lambda: [0.0, 0, {}]))
-    for f in sorted(files)[-1:]:  # latest run
+    for f in files:
         for track, ops in aggregate(load_events(f), args.track).items():
             for name, (dur, count, a) in ops.items():
                 slot = merged[track][name]

@@ -61,7 +61,10 @@ class Kitti360Sequence:
         t_cv = np.eye(4)
         t_cv[:3, :4] = cam_to_velo
         velo_poses = cam_poses @ np.linalg.inv(t_cv)[None]
-        out = np.tile(np.eye(4), (frame_ids.max() + 1, 1, 1))
+        # KITTI-360 pose files omit frames (stationary segments); mark the
+        # gaps NaN so downstream pair generation skips them instead of
+        # treating origin-identity fills as real revisits
+        out = np.full((frame_ids.max() + 1, 4, 4), np.nan)
         out[frame_ids] = velo_poses
         return out
 

@@ -90,15 +90,26 @@ def generate_registration_pairs(
     `generate_kitti_pairs.py`): walk the trajectory, emit (anc=i, pos=j)
     where j is the first later frame farther than min_distance."""
     positions = poses[:, :3, 3]
+    finite = np.isfinite(positions).all(axis=1)
     pairs = []
     i = 0
     n = len(poses)
     while i < n:
+        if not finite[i]:
+            i += 1
+            continue
         j = i + 1
-        while j < n and np.linalg.norm(positions[j] - positions[i]) < min_distance:
+        while j < n and not (
+            finite[j] and np.linalg.norm(positions[j] - positions[i]) > min_distance
+        ):
             j += 1
         if j >= n:
             break
+        # reference semantics (`generate_kitti_pairs.py`): the emitted pos is
+        # the frame BEFORE the first one farther than min_distance (`next_time
+        # = where(more_than_10)[0] + curr - 1`) — pair distance just under the
+        # threshold, not just over
+        j = j - 1 if (j - 1 > i and finite[j - 1]) else j
         t = relative_transform(poses[j], poses[i])  # src=i into frame of ref=j
         if refine and scan_source is not None:
             t = icp_refine(scan_source(i), scan_source(j), t)

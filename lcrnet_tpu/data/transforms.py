@@ -147,7 +147,7 @@ def random_crop_point_cloud_with_plane(points, rng: Optional[np.random.Generator
     plane through the origin (`functional.py:130-143`)."""
     num_samples = int(np.floor(points.shape[0] * keep_ratio + 0.5))
     if p_normal is None:
-        p_normal = random_sample_plane(rng)
+        p_normal = random_sample_plane(rng or np.random.default_rng())
     idx = np.argsort(-(points @ p_normal))[:num_samples]
     return _with_normals(points, normals, idx)
 
@@ -165,6 +165,6 @@ def random_crop_point_cloud_with_point(points, rng: Optional[np.random.Generator
     (`functional.py:150-162`)."""
     num_samples = int(np.floor(points.shape[0] * keep_ratio + 0.5))
     if viewpoint is None:
-        viewpoint = random_sample_viewpoint(rng)
+        viewpoint = random_sample_viewpoint(rng or np.random.default_rng())
     idx = np.argsort(np.linalg.norm(viewpoint - points, axis=1))[:num_samples]
     return _with_normals(points, normals, idx)

@@ -60,12 +60,15 @@ def random_sample_keypoints_with_scores(
     return points, feats
 
 
-def _greedy_nms_indices(points: np.ndarray, order: np.ndarray, radius: float) -> np.ndarray:
+def _greedy_nms_indices(points: np.ndarray, order: np.ndarray, radius: float,
+                        max_keep: Optional[int] = None) -> np.ndarray:
     """Indices (into `order`-sorted arrays) surviving greedy radius NMS.
 
     Same first-come suppression as the reference's sequential loop
     (`pointcloud.py:204-229`): walk points in score order, keep a point iff
-    no previously kept point lies within `radius`.
+    no previously kept point lies within `radius`.  `max_keep` stops early
+    once that many points are kept (the reference's `break` at
+    `pointcloud.py:221`) — suppression vectors for later points are skipped.
     """
     sorted_points = points[order]
     n = len(order)
@@ -76,6 +79,8 @@ def _greedy_nms_indices(points: np.ndarray, order: np.ndarray, radius: float) ->
         if not alive[i]:
             continue
         keep.append(i)
+        if max_keep is not None and len(keep) >= max_keep:
+            break
         if i + 1 < n:
             d2 = np.sum((sorted_points[i + 1 :] - sorted_points[i]) ** 2, axis=1)
             alive[i + 1 :] &= d2 >= radius2
@@ -93,7 +98,7 @@ def sample_keypoints_with_nms(
     (`pointcloud.py:204-229`)."""
     if points.shape[0] > num_keypoints:
         order = np.argsort(-scores, kind="stable")
-        keep = _greedy_nms_indices(points, order, radius)[:num_keypoints]
+        keep = _greedy_nms_indices(points, order, radius, max_keep=num_keypoints)
         sorted_points, sorted_feats = points[order], feats[order]
         return sorted_points[keep], sorted_feats[keep]
     return points, feats

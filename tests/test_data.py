@@ -108,13 +108,37 @@ def test_generate_registration_pairs_spacing():
     assert len(pairs) > 10
     pos = poses[:, :3, 3]
     for p in pairs:
+        # reference semantics: pos is the frame BEFORE the first one farther
+        # than min_distance — pair distance just under the threshold, and the
+        # next frame crosses it
         d = np.linalg.norm(pos[p["pos_idx"]] - pos[p["anc_idx"]])
-        assert d >= 10.0
+        assert d <= 10.0
+        d_next = np.linalg.norm(pos[p["pos_idx"] + 1] - pos[p["anc_idx"]])
+        assert d_next > 10.0
         # transform maps src (anc) points into ref (pos) frame
         t = p["transform"]
         origin_src_in_world = pos[p["anc_idx"]]
         origin_in_ref = np.linalg.inv(poses[p["pos_idx"]]) @ np.append(origin_src_in_world, 1.0)
         np.testing.assert_allclose(t[:3, 3], origin_in_ref[:3], atol=1e-5)
+
+
+def test_generators_skip_nan_pose_gaps():
+    """KITTI-360-style pose gaps (NaN-filled frames) must never pair: a gap
+    frame is neither an anchor nor a positive in any generator."""
+    from lcrnet_tpu.data.generators import generate_loop_rows, generate_mixed_rows
+
+    poses = circle_poses()
+    gap = list(range(40, 60)) + list(range(200, 260))
+    poses[gap] = np.nan
+    bad = set(gap)
+    reg = generate_registration_pairs(poses, min_distance=10.0)
+    assert reg and not any(p["anc_idx"] in bad or p["pos_idx"] in bad for p in reg)
+    for rows in (generate_loop_rows(poses, 4.0), generate_mixed_rows(poses)):
+        assert rows
+        for r in rows:
+            assert r["anc_idx"] not in bad
+            assert not any(int(j) in bad for j in r["pos_idx"])
+            assert np.isfinite(r["pose"]).all()
 
 
 def test_generate_loop_pairs_revisits():
