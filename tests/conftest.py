@@ -27,17 +27,28 @@ jax.config.update("jax_platforms", "cpu")
 
 
 def _cpu_feature_tag() -> str:
+    # Key on model name + family/stepping + flags: hosts with identical
+    # /proc/cpuinfo flags can still differ in what LLVM's -mcpu=native
+    # emits (observed: an AOT entry built under one VM host SIGABRTed on a
+    # flags-identical successor), so the flags hash alone is not enough.
     import hashlib
 
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "cpu family", "model", "stepping"):
+                    parts.append(line.strip())
+                elif key == "flags":
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                if line.startswith("power management"):
+                    break  # first core only
     except OSError:
         pass
-    return "nofeat"
+    if not parts:
+        return "nofeat"
+    return hashlib.sha1("|".join(sorted(set(parts))).encode()).hexdigest()[:10]
 
 
 _CACHE_DIR = os.environ.get(

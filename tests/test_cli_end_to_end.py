@@ -242,7 +242,9 @@ def test_generate_pairs_cli(tmp_path, rng):
     assert len(reg) > 5
     pos = poses[:, :3, 3]
     for p in reg:
-        assert np.linalg.norm(pos[p["pos_idx"]] - pos[p["anc_idx"]]) >= 10.0
+        # reference semantics: pos = frame BEFORE the first one beyond 10 m
+        assert np.linalg.norm(pos[p["pos_idx"]] - pos[p["anc_idx"]]) <= 10.0
+        assert np.linalg.norm(pos[p["pos_idx"] + 1] - pos[p["anc_idx"]]) > 10.0
 
     loops = load_pair_npz_mixed(str(root / "loop_distance4" / "00.npz"))
     assert loops and all(q["anc_idx"] - q["pos_idx"] >= 50 for q in loops)
