@@ -178,3 +178,42 @@ def test_regularize_normals(rng):
     assert (np.sum(pts * reg, axis=1) <= 0).all()
     reg2 = regularize_normals(pts, normals, positive=False)
     assert (np.sum(pts * reg2, axis=1) >= 0).all()
+
+
+def test_profile_trace_aggregation(tmp_path):
+    """profile_forward's parser: metadata-track naming, track filtering,
+    per-op self-time sums, multi-file merge, latest-session selection."""
+    import gzip
+    import json
+    import os.path as osp
+    import sys
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "experiments"))
+    import profile_forward as pf
+
+    events = [
+        {"ph": "M", "pid": 1, "name": "process_name", "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 1, "tid": 2, "name": "thread_name", "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 9, "name": "process_name", "args": {"name": "host"}},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1", "dur": 100,
+         "args": {"source": "a.py:1"}},
+        {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1", "dur": 50},
+        {"ph": "X", "pid": 9, "tid": 0, "name": "hostwork", "dur": 999},
+    ]
+    agg = pf.aggregate(events, "TPU")
+    assert list(agg) == ["/device:TPU:0/XLA Ops"]
+    dur, count, args = agg["/device:TPU:0/XLA Ops"]["fusion.1"]
+    assert (dur, count) == (150.0, 2)
+    assert args["source"] == "a.py:1"
+
+    # two sessions on disk; only the newest one's files are returned
+    old = tmp_path / "plugins" / "profile" / "2026_01_01"
+    new = tmp_path / "plugins" / "profile" / "2026_02_02"
+    for d in (old, new):
+        d.mkdir(parents=True)
+    for d, n in ((old, 1), (new, 2)):
+        for i in range(n):
+            with gzip.open(d / f"h{i}.trace.json.gz", "wt") as f:
+                json.dump({"traceEvents": events}, f)
+    files = pf.find_trace_files(str(tmp_path))
+    assert len(files) == 2 and all("2026_02_02" in f for f in files)
