@@ -64,6 +64,9 @@ def main():
     ap.add_argument("--gt_file", default=None, help="overlap GT npz/text")
     ap.add_argument("--descriptor_dir", default="output/features/loop_detection")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--mesh_dp", type=int, default=0,
+                    help="shard the retrieval database scan over this many "
+                         "devices (0 = single-device scan)")
     args = ap.parse_args()
 
     import jax
@@ -124,7 +127,12 @@ def main():
         )
 
         gt = load_overlap_gt(args.gt_file, n)
-        res = evaluate_loop_detection(descs, gt)
+        mesh = None
+        if args.mesh_dp:
+            from lcrnet_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=args.mesh_dp)
+        res = evaluate_loop_detection(descs, gt, mesh=mesh)
         save_retrieval_artifacts(
             osp.join(args.descriptor_dir, f"seq{seq_tag}_pr_curve.npz"), res
         )

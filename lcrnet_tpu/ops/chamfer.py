@@ -79,7 +79,9 @@ def modified_chamfer_distance(
 
     aligned_src = apply_transform(src_points, transform)
     d_fwd, _ = chamfer_distance(aligned_src, raw_points, src_mask, raw_mask)
-    composed = transform @ inverse_transform(gt_transform)
+    composed = jnp.matmul(
+        transform, inverse_transform(gt_transform), precision=lax.Precision.HIGHEST
+    )
     aligned_raw = apply_transform(raw_points, composed)
     d_bwd, _ = chamfer_distance(ref_points, aligned_raw, ref_mask, raw_mask)
     if src_mask is None:

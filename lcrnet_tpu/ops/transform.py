@@ -103,7 +103,8 @@ def rodrigues_rotation_matrix(axes: jnp.ndarray, angles: jnp.ndarray) -> jnp.nda
     sin = jnp.sin(angles)[..., None, None]
     cos = jnp.cos(angles)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=axes.dtype), skews.shape)
-    return eye + sin * skews + (1.0 - cos) * (skews @ skews)
+    sq = jnp.matmul(skews, skews, precision=_PREC)
+    return eye + sin * skews + (1.0 - cos) * sq
 
 
 def rodrigues_alignment_matrix(src_vectors: jnp.ndarray, tgt_vectors: jnp.ndarray) -> jnp.ndarray:
@@ -117,6 +118,7 @@ def rodrigues_alignment_matrix(src_vectors: jnp.ndarray, tgt_vectors: jnp.ndarra
     axes_n = _normalize(axes)
     skews = skew_symmetric_matrix(axes_n)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=src.dtype), skews.shape)
-    rot = eye + sin[..., None, None] * skews + (1.0 - cos)[..., None, None] * (skews @ skews)
+    sq = jnp.matmul(skews, skews, precision=_PREC)
+    rot = eye + sin[..., None, None] * skews + (1.0 - cos)[..., None, None] * sq
     flip = jnp.logical_and(sin == 0.0, cos < 0.0)
     return jnp.where(flip[..., None, None], -rot, rot)

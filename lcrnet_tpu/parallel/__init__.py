@@ -8,3 +8,4 @@ reference equivalent; TPU-native extension).
 """
 
 from lcrnet_tpu.parallel.mesh import make_mesh, process_local_batch_slice, setup_distributed
+from lcrnet_tpu.parallel.retrieval import sharded_causal_topk_search

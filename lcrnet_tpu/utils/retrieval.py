@@ -46,7 +46,9 @@ def causal_topk_search(
 
     def one_block(args):
         qb, rb = args
-        sims = qb @ descriptors.T  # (block, N)
+        # pinned: loop/non-loop L2 margins are ~0.03 while bf16 input
+        # rounding perturbs d2 by ~0.008 (NOTES.md bf16 trap class)
+        sims = jnp.matmul(qb, descriptors.T, precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(2.0 - 2.0 * sims, 0.0)
         eligible = jnp.arange(n)[None, :] <= rb[:, None] - exclusion
         d2 = jnp.where(eligible, d2, _BIG)
@@ -66,6 +68,7 @@ def evaluate_loop_detection(
     start_frame: int = 150,
     topk: int = 50,
     recall_pct_k: int = 45,
+    mesh=None,
 ) -> Dict[str, float]:
     """Full retrieval eval over a sequence.
 
@@ -76,12 +79,23 @@ def evaluate_loop_detection(
       start_frame: first query frame (reference `:183` starts at 150 or once
         the database holds >= exclusion frames).
       recall_pct_k: the `1%` candidate count (45 for KITTI-00, 38 for Ford).
+      mesh: optional jax Mesh — shards the O(N^2 d) database scan across the
+        mesh's 'dp' axis (`parallel/retrieval.py`), exact same results.
 
     Returns dict with F1max, AUC, Recall@1, Recall@1pct, plus the raw
     top-1 distances for downstream dumps.
     """
     n = len(descriptors)
-    dists, idx = causal_topk_search(jnp.asarray(descriptors), k=topk, exclusion=exclusion)
+    if mesh is not None:
+        from lcrnet_tpu.parallel.retrieval import sharded_causal_topk_search
+
+        dists, idx = sharded_causal_topk_search(
+            np.asarray(descriptors), k=topk, exclusion=exclusion, mesh=mesh
+        )
+    else:
+        dists, idx = causal_topk_search(
+            jnp.asarray(descriptors), k=topk, exclusion=exclusion
+        )
     dists = np.asarray(dists)
     idx = np.asarray(idx)
 

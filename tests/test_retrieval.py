@@ -199,3 +199,52 @@ def test_evaluate_loop_detection_tiny_sequence(rng):
     gt[3] = np.asarray([1])
     res = evaluate_loop_detection(desc, gt, exclusion=1, start_frame=0)
     assert res["Recall@1"] == 1.0
+
+
+def test_sharded_causal_topk_matches_single_device(rng):
+    """Database-sharded mesh search is exact vs the single-device scan:
+    same distances AND same candidate sets (8-device CPU mesh, database
+    rows not divisible by the mesh, k spanning shard boundaries)."""
+    import jax
+
+    from lcrnet_tpu.parallel.mesh import make_mesh
+    from lcrnet_tpu.parallel.retrieval import sharded_causal_topk_search
+    from lcrnet_tpu.utils.retrieval import causal_topk_search
+
+    n, d, k = 203, 32, 7  # 203 = 8*25 + 3: ragged shards exercise padding
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    ref_d, ref_i = causal_topk_search(jax.numpy.asarray(desc), k, exclusion=20)
+    ref_d, ref_i = np.asarray(ref_d), np.asarray(ref_i)
+
+    mesh = make_mesh(dp=8)
+    got_d, got_i = sharded_causal_topk_search(desc, k, exclusion=20, mesh=mesh)
+
+    assert got_d.shape == (n, k) and got_i.shape == (n, k)
+    np.testing.assert_allclose(got_d, ref_d, rtol=1e-5, atol=1e-6)
+    # indices may permute only among exact-tie distances; with random
+    # descriptors ties don't occur, so require identical candidates
+    real = ref_d < 1e11
+    np.testing.assert_array_equal(got_i[real], ref_i[real])
+
+
+def test_sharded_causal_topk_k_exceeds_candidates(rng):
+    """k larger than any frame's eligible database: rows pad with _BIG."""
+    import jax
+
+    from lcrnet_tpu.parallel.mesh import make_mesh
+    from lcrnet_tpu.parallel.retrieval import sharded_causal_topk_search
+
+    n, d = 12, 8
+    desc = rng.normal(size=(n, d)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    mesh = make_mesh(dp=8)
+    dists, idx = sharded_causal_topk_search(desc, k=5, exclusion=4, mesh=mesh)
+    assert dists.shape == (12, 5)
+    # frame 11 has 8 eligible candidates (0..7): all 5 real
+    assert np.all(dists[11] < 1e11)
+    # frame 4 has exactly one eligible candidate (frame 0)
+    assert dists[4, 0] < 1e11 and idx[4, 0] == 0 and np.all(dists[4, 1:] > 1e11)
+    # frames before the exclusion horizon have none
+    assert np.all(dists[:4] > 1e11)
