@@ -80,6 +80,13 @@ def main():
     from lcrnet_tpu.utils.retrieval import evaluate_loop_detection
 
     cfg = make_cfg()
+    # Build the retrieval mesh up front so an insufficient --mesh_dp fails
+    # fast, before the descriptor-extraction pass does its work.
+    mesh = None
+    if args.mesh_dp:
+        from lcrnet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.mesh_dp)
     params = init_params(cfg)
     if args.snapshot:
         params = load_snapshot(args.snapshot, template={"params": params})["params"]
@@ -127,11 +134,6 @@ def main():
         )
 
         gt = load_overlap_gt(args.gt_file, n)
-        mesh = None
-        if args.mesh_dp:
-            from lcrnet_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(dp=args.mesh_dp)
         res = evaluate_loop_detection(descs, gt, mesh=mesh)
         save_retrieval_artifacts(
             osp.join(args.descriptor_dir, f"seq{seq_tag}_pr_curve.npz"), res

@@ -49,6 +49,11 @@ def sharded_causal_topk_search(
     (distances (N, k), indices (N, k)); rows with no eligible candidate get
     distance `_BIG` (matching `utils.retrieval.causal_topk_search`).
     """
+    if mesh is None:
+        # no mesh -> the single-device scan is the same computation
+        from lcrnet_tpu.utils.retrieval import causal_topk_search
+
+        return causal_topk_search(descriptors, k, exclusion=exclusion)
     n, d = descriptors.shape
     k = min(k, n)
     ndev = mesh.shape[axis]

@@ -51,6 +51,21 @@ def _violations(path):
         if isinstance(node, ast.Call):
             if isinstance(node.func, ast.Attribute):
                 name = node.func.attr
+                # only jnp/lax receivers: numpy's matmul family has no
+                # precision= kwarg and is unaffected by the TPU bf16 default
+                recv = node.func.value
+                if isinstance(recv, ast.Name):
+                    if recv.id not in {"jnp", "lax", "jax"}:
+                        continue
+                elif isinstance(recv, ast.Attribute):
+                    # jax.numpy.einsum / jax.lax.dot_general style
+                    root = recv
+                    while isinstance(root, ast.Attribute):
+                        root = root.value
+                    if not (isinstance(root, ast.Name) and root.id == "jax"):
+                        continue
+                else:
+                    continue
             elif isinstance(node.func, ast.Name):
                 name = node.func.id
             else:
