@@ -41,7 +41,7 @@ class GatingContext(nn.Module):
     def __call__(self, x):
         w = self.param("gating_weights", _scaled_normal(self.dim), (self.dim, self.dim))
         gates = jnp.matmul(x, w, precision=_HI)
-        gates = nn.LayerNorm()(gates)
+        gates = nn.LayerNorm(epsilon=1e-5)(gates)
         return x * nn.sigmoid(gates)
 
 
@@ -69,7 +69,7 @@ class NetVLAD(nn.Module):
         )
 
         activation = jnp.matmul(x, cluster_w, precision=_HI)  # (B, N, K)
-        activation = nn.LayerNorm()(activation)
+        activation = nn.LayerNorm(epsilon=1e-5)(activation)
         activation = jnp.where(mask[..., None], activation, _NEG_INF)
         activation = nn.softmax(activation, axis=-1)
         activation = jnp.where(mask[..., None], activation, 0.0)
@@ -81,11 +81,15 @@ class NetVLAD(nn.Module):
         vlad = vlad - a
         # intra-normalization over the feature axis (dim=1 in the reference)
         vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6)
-        vlad = vlad.transpose(0, 2, 1).reshape(b, self.cluster_size * c)
+        # flatten (B, C, K) C-major (index = c*K + k), exactly the reference's
+        # `vlad1.view(-1, cluster_size * feature_size)` on its (B, C, K)
+        # tensor (NetVlad.py:148-149) — the row order of hidden1_weights
+        # depends on it, and the converter maps that matrix unchanged
+        vlad = vlad.reshape(b, c * self.cluster_size)
         vlad = vlad / jnp.maximum(jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6)
 
         vlad = jnp.matmul(vlad, hidden_w, precision=_HI)
-        vlad = nn.LayerNorm()(vlad)
+        vlad = nn.LayerNorm(epsilon=1e-5)(vlad)
         if self.gating:
             vlad = GatingContext(self.output_dim)(vlad)
         return vlad

@@ -103,7 +103,7 @@ class RPEAttentionLayer(nn.Module):
         k = apply_rotary(k, theta_h)
         hidden, _ = _attention(q, k, v, masks, self.topk_ratio)
         hidden = nn.Dense(self.d_model)(_merge_heads(hidden))
-        return nn.LayerNorm()(hidden + x)
+        return nn.LayerNorm(epsilon=1e-5)(hidden + x)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -120,7 +120,7 @@ class CrossAttentionLayer(nn.Module):
         v = _split_heads(nn.Dense(self.d_model)(memory), self.num_heads)
         hidden, _ = _attention(q, k, v, memory_masks)
         hidden = nn.Dense(self.d_model)(_merge_heads(hidden))
-        return nn.LayerNorm()(hidden + x)
+        return nn.LayerNorm(epsilon=1e-5)(hidden + x)
 
 
 class AttentionOutput(nn.Module):
@@ -134,7 +134,7 @@ class AttentionOutput(nn.Module):
         hidden = nn.Dense(self.d_model * 2)(x)
         hidden = nn.relu(hidden)
         hidden = nn.Dense(self.d_model)(hidden)
-        return nn.LayerNorm()(hidden + x)
+        return nn.LayerNorm(epsilon=1e-5)(hidden + x)
 
 
 class ThDRoFormer(nn.Module):

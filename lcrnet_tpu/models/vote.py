@@ -20,10 +20,10 @@ class VoteLayer(nn.Module):
     def __call__(self, xyz, feats):
         """xyz (B, N, 3), feats (B, N, C) -> shifted xyz (B, N, 3)."""
         h = nn.Dense(self.input_feats_dim * 2)(feats)
-        h = nn.LayerNorm()(h)
+        h = nn.LayerNorm(epsilon=1e-5)(h)
         h = nn.relu(h)
         h = nn.Dense(self.input_feats_dim)(h)
-        h = nn.LayerNorm()(h)
+        h = nn.LayerNorm(epsilon=1e-5)(h)
         h = nn.relu(h)
         offsets = nn.Dense(3)(h)
         norm = jnp.sqrt(jnp.sum(offsets * offsets, axis=-1, keepdims=True) + 1e-12)
