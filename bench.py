@@ -12,11 +12,17 @@ waiting, so each timed section is bounded by a host transfer of the last
 output (device programs execute in order, so transferring the final value
 fences the whole loop).
 
-The reference repo publishes no throughput numbers (SURVEY.md §6).  The
-baseline constant below is an estimate of the reference pipeline's
-end-to-end rate on its tested GPU setup: per-pair CPU collate does 10+
-nanoflann radius searches plus 3 in-forward CPU hops and a CPU SVD —
-measured torch pipelines of this family run ~2-3 pairs/s end-to-end.
+Baseline: the north star is "≥10x CPU-reference scan-pairs/sec"
+(BASELINE.json), and `experiments/baseline_torch.py` MEASURES the actual
+torch reference (its own C++ ext + collate + model forward, executed
+verbatim on this host's CPU, all cores); its BASELINE_MEASURED.json is the
+denominator when present.  The 2.5 pairs/s constant remains only as the
+fallback when the measurement has not been run on this host.
+
+Throughput vs latency: pairs/s/chip is a throughput metric and the chip is
+mostly idle at batch 1 (selection/gather-bound), so the headline `value` is
+the best operating point over a pair-batch sweep (B = 1..8 via
+`make_pairs_forward`); per-B latency rows are reported alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -28,7 +34,9 @@ import time
 
 import numpy as np
 
-BASELINE_PAIRS_PER_SEC = 2.5  # estimated reference end-to-end rate (see above)
+BASELINE_PAIRS_PER_SEC = 2.5  # fallback when BASELINE_MEASURED.json is absent
+BASELINE_MEASURED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
 DEMO_DIR = "/root/reference/demo/data_demo"
 # bf16 peak of one TPU v5e chip (MXU), for the MFU denominator
 # (197 bf16 TFLOPS; the oft-quoted 394 figure is int8 TOPS)
@@ -84,7 +92,7 @@ def main():
     except Exception:
         pass
 
-    # steady-state forward
+    # steady-state forward (batch 1 -> latency)
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -92,6 +100,42 @@ def main():
     _sync(out)
     dt = (time.perf_counter() - t0) / iters
     pairs_per_sec = 1.0 / dt
+
+    # batched operating points: aggregate pairs/s (the north-star metric is
+    # throughput; batch 1 leaves the chip ~99% idle on this gather-bound
+    # workload).  Stop the sweep at the first HBM exhaustion.
+    from lcrnet_tpu.pipeline import make_pairs_forward
+
+    pair_pts = jnp.stack([rp, sp])   # (2, N, 3)
+    pair_msk = jnp.stack([rm, sm])   # (2, N)
+    batch_rows = [{
+        "pairs": 1, "latency_ms": round(dt * 1e3, 1),
+        "pairs_per_sec": round(pairs_per_sec, 2),
+    }]
+    best_rate, best_b = pairs_per_sec, 1
+    for b in (2, 4, 8):
+        try:
+            fwd_b = jax.jit(make_pairs_forward(cfg, b))
+            pts_b = jnp.broadcast_to(pair_pts[None], (b,) + pair_pts.shape)
+            msk_b = jnp.broadcast_to(pair_msk[None], (b,) + pair_msk.shape)
+            out_b = fwd_b(params, pts_b, msk_b)
+            _sync(out_b)
+            n_it = max(4, 16 // b)
+            t0 = time.perf_counter()
+            for _ in range(n_it):
+                out_b = fwd_b(params, pts_b, msk_b)
+            _sync(out_b)
+            dt_b = (time.perf_counter() - t0) / n_it
+        except Exception as e:  # HBM OOM ends the sweep, smaller Bs stand
+            batch_rows.append({"pairs": b, "error": type(e).__name__})
+            break
+        rate = b / dt_b
+        batch_rows.append({
+            "pairs": b, "latency_ms": round(dt_b * 1e3, 1),
+            "pairs_per_sec": round(rate, 2),
+        })
+        if rate > best_rate:
+            best_rate, best_b = rate, b
 
     # steady-state train step (fwd+bwd+optimizer, 1 pair/batch)
     state = create_train_state(cfg, params, steps_per_epoch=1000)
@@ -112,11 +156,25 @@ def main():
     _sync(metrics["loss"])
     train_dt = (time.perf_counter() - t0) / train_iters
 
+    baseline = BASELINE_PAIRS_PER_SEC
+    baseline_src = "estimated"
+    if os.path.exists(BASELINE_MEASURED):
+        with open(BASELINE_MEASURED) as f:
+            measured = json.load(f)
+        baseline = float(measured["pairs_per_sec"])
+        baseline_src = "measured ({} CPU threads, {})".format(
+            measured.get("torch_threads"), measured.get("metric")
+        )
+
     result = {
         "metric": "scan_pairs_per_sec_per_chip",
-        "value": round(pairs_per_sec, 2),
+        "value": round(best_rate, 2),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "vs_baseline": round(best_rate / baseline, 2),
+        "baseline_pairs_per_sec": baseline,
+        "baseline_source": baseline_src,
+        "best_batch_pairs": best_b,
+        "batch_sweep": batch_rows,
         "forward_ms": round(dt * 1e3, 1),
         "train_step_ms": round(train_dt * 1e3, 1),
         "train_steps_per_sec": round(1.0 / train_dt, 2),
@@ -125,6 +183,9 @@ def main():
     if flops_fwd:
         result["forward_gflops"] = round(flops_fwd / 1e9, 1)
         result["forward_mfu_pct"] = round(100.0 * flops_fwd / dt / PEAK_FLOPS, 2)
+        result["batched_mfu_pct"] = round(
+            100.0 * flops_fwd * best_rate / PEAK_FLOPS, 2
+        )
     print(json.dumps(result))
 
 

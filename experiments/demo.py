@@ -59,19 +59,32 @@ def main():
     print(np.array2string(np.asarray(out["estimated_transform"]), precision=6, suppress_small=False))
 
     if args.dump_scene:
-        from lcrnet_tpu.utils.visualization import correspondence_scene, write_ply
+        from lcrnet_tpu.utils.visualization import (
+            correspondence_scene,
+            find_true_false,
+            write_ply,
+        )
 
         mr = np.asarray(out["masks_f"][0])
         ms = np.asarray(out["masks_f"][1])
         cv = np.asarray(out["corr_valid"])
-        pts, cols, edges, _ = correspondence_scene(
+        ref_corr = np.asarray(out["ref_corr_points"])[cv]
+        src_corr = np.asarray(out["src_corr_points"])[cv]
+        # no GT in the demo: classify against the estimated pose (the
+        # reference's visualization() colors by residual the same way)
+        correct = find_true_false(
+            src_corr, ref_corr, np.asarray(out["estimated_transform"])
+        )
+        pts, cols, edges, ecols = correspondence_scene(
             np.asarray(out["points_f"][0])[mr],
             np.asarray(out["points_f"][1])[ms],
-            np.asarray(out["ref_corr_points"])[cv],
-            np.asarray(out["src_corr_points"])[cv],
+            ref_corr,
+            src_corr,
+            correct,
         )
-        write_ply(args.dump_scene, pts, cols, edges)
-        print(f"scene written to {args.dump_scene}")
+        write_ply(args.dump_scene, pts, cols, edges, ecols)
+        print(f"scene written to {args.dump_scene} "
+              f"({int(correct.sum())}/{len(correct)} inlier edges)")
 
 
 if __name__ == "__main__":

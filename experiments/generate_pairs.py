@@ -38,7 +38,9 @@ def main():
                     choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
     ap.add_argument("--seq", default="0", help="sequence id (int or session name)")
     ap.add_argument("--tasks", default="registration,loop,mixed,overlap",
-                    help="comma list of downsample,registration,loop,mixed,overlap")
+                    help="comma list of downsample,registration,loop,mixed,"
+                         "overlap,tuples (tuples = LD training anchors/"
+                         "positives/negatives mined from the overlap GT)")
     ap.add_argument("--pose_file", default=None,
                     help="kitti family: poses.txt (cam0 or velo frame)")
     ap.add_argument("--calib_file", default=None,
@@ -126,13 +128,24 @@ def main():
         write_pairs_npz(path, rows)
         print(f"mixed: {len(rows)} anchor rows -> {path}")
 
-    if "overlap" in tasks:
+    if "overlap" in tasks or "tuples" in tasks:
         gt = generate_overlap_loop_gt(
             poses, scan_source, overlap_threshold=args.overlap_threshold)
-        path = osp.join(
-            out_dir, f"loop_gt_seq{seq_tag}_{args.overlap_threshold}overlap.npz")
-        write_overlap_gt(path, gt)
-        print(f"overlap GT: {sum(map(len, gt))} positives over {len(gt)} frames -> {path}")
+        if "overlap" in tasks:
+            path = osp.join(
+                out_dir, f"loop_gt_seq{seq_tag}_{args.overlap_threshold}overlap.npz")
+            write_overlap_gt(path, gt)
+            print(f"overlap GT: {sum(map(len, gt))} positives over {len(gt)} frames -> {path}")
+        if "tuples" in tasks:
+            from lcrnet_tpu.data.generators import (
+                generate_training_tuples,
+                write_training_tuples,
+            )
+
+            tuples = generate_training_tuples(poses, gt)
+            path = osp.join(out_dir, f"training_tuples_seq{seq_tag}.npz")
+            write_training_tuples(path, tuples)
+            print(f"training tuples: {len(tuples['anc_idx'])} anchors -> {path}")
 
 
 if __name__ == "__main__":

@@ -18,20 +18,29 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
+def build_parser(feature_dir_default="output/features/registration",
+                 description=__doc__):
+    ap = argparse.ArgumentParser(description=description)
     ap.add_argument("--dataset_root", required=True)
     ap.add_argument("--family", default="kitti",
                     choices=["kitti", "kitti360", "ford", "apollo", "mulran"])
     ap.add_argument("--seq", default="8", help="sequence id (int or session name)")
     ap.add_argument("--pair_file", required=True)
     ap.add_argument("--snapshot", default=None)
-    ap.add_argument("--feature_dir", default="output/features/registration")
+    ap.add_argument("--feature_dir", default=feature_dir_default)
     ap.add_argument("--limit", type=int, default=None, help="max pairs")
     ap.add_argument("--pairs_per_batch", type=int, default=1,
                     help="pairs per device program (amortizes dispatch "
                          "latency on the relay; per-pair results identical)")
-    args = ap.parse_args()
+    return ap
+
+
+def main(argv=None, parser=None):
+    args = (parser or build_parser()).parse_args(argv)
+    run(args)
+
+
+def run(args):
 
     import jax
     import jax.numpy as jnp

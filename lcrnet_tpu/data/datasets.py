@@ -72,71 +72,107 @@ class Kitti360Sequence:
         return self.source(idx)
 
 
+def _kitti_row_poses(path: str) -> np.ndarray:
+    """(N, 4, 4) from 12-float KITTI-style pose rows (row-major 3x4)."""
+    raw = np.loadtxt(path)
+    if raw.ndim == 1:
+        raw = raw[None]
+    poses = np.tile(np.eye(4), (len(raw), 1, 1))
+    poses[:, :3, :4] = raw[:, -12:].reshape(-1, 3, 4)
+    return poses
+
+
 class FordSequence:
-    """Ford Campus: per-scan bins + a flat pose text (reference
-    `datasets/utils/ford.py`)."""
+    """Ford Campus, reference prepared-tree layout first: scans from
+    `downsampled_xyzi/%02d/%06d.npy` and poses from
+    `sequences/%02d/poses.txt` — plain 12-float rows in the LiDAR frame,
+    no velo<->cam conjugation (reference
+    `datasets/registration/ford/dataset.py:90-95`,
+    `datasets/utils/ford.py:33-56`).  Falls back to a raw IJRR tree
+    (`IJRR-Dataset-<seq>/velodyne/%06d.bin` + `poses.txt`) when the
+    prepared tree is absent."""
 
     def __init__(self, root: str, seq: int, voxel_size: float = 0.3):
-        self.scan_dir = osp.join(root, f"IJRR-Dataset-{seq}", "velodyne")
-        self.down_dir = osp.join(root, f"IJRR-Dataset-{seq}", "downsampled")
-        self.pose_path = osp.join(root, f"IJRR-Dataset-{seq}", "poses.txt")
+        raw = osp.join(root, f"IJRR-Dataset-{seq}")
+        self.down_dir = osp.join(root, "downsampled_xyzi", f"{seq:02d}")
+        if not osp.isdir(self.down_dir) and osp.isdir(raw):
+            self.down_dir = osp.join(raw, "downsampled")
+        self.pose_path = osp.join(root, "sequences", f"{seq:02d}", "poses.txt")
+        if not osp.exists(self.pose_path) and osp.exists(osp.join(raw, "poses.txt")):
+            self.pose_path = osp.join(raw, "poses.txt")
+        self.scan_dir = osp.join(raw, "velodyne")
         self.source = _bin_source(self.scan_dir, voxel_size, "{idx:06d}.bin", self.down_dir)
 
     def poses(self) -> np.ndarray:
-        raw = np.loadtxt(self.pose_path)
-        poses = np.tile(np.eye(4), (len(raw), 1, 1))
-        poses[:, :3, :4] = raw[:, -12:].reshape(-1, 3, 4)
-        return poses
+        return _kitti_row_poses(self.pose_path)
 
     def __call__(self, idx: int) -> np.ndarray:
         return self.source(idx)
 
 
 class ApolloSequence:
-    """Apollo-SouthBay: session dirs with `pcds` + poses (reference
-    `datasets/registration/apollo/dataset.py`)."""
+    """Apollo-SouthBay, reference prepared-tree layout first: scans from
+    `downsampled_xyzi/%02d/%06d.npy` with integer sequences 1-4 (reference
+    `datasets/registration/apollo/dataset.py:104-112`; GT transforms ride
+    the pair text, but a KITTI-style `sequences/%02d/poses.txt` is also
+    honored for pair generation).  A non-integer `seq` selects the legacy
+    raw-session layout (`<session>/pcds/%06d.bin` + `poses/gt_poses.txt`)."""
 
-    def __init__(self, root: str, session: str, voxel_size: float = 0.3):
-        self.scan_dir = osp.join(root, session, "pcds")
-        self.down_dir = osp.join(root, session, "downsampled")
-        self.pose_path = osp.join(root, session, "poses", "gt_poses.txt")
+    def __init__(self, root: str, seq, voxel_size: float = 0.3):
+        try:
+            iseq: Optional[int] = int(seq)
+        except (TypeError, ValueError):
+            iseq = None
+        if iseq is not None:
+            self.down_dir = osp.join(root, "downsampled_xyzi", f"{iseq:02d}")
+            self.scan_dir = osp.join(root, "sequences", f"{iseq:02d}", "velodyne")
+            self.pose_path = osp.join(root, "sequences", f"{iseq:02d}", "poses.txt")
+        else:
+            session = str(seq)
+            self.scan_dir = osp.join(root, session, "pcds")
+            self.down_dir = osp.join(root, session, "downsampled")
+            self.pose_path = osp.join(root, session, "poses", "gt_poses.txt")
         self.source = _bin_source(self.scan_dir, voxel_size, "{idx:06d}.bin", self.down_dir)
 
     def poses(self) -> np.ndarray:
-        raw = np.loadtxt(self.pose_path)
-        poses = np.tile(np.eye(4), (len(raw), 1, 1))
-        poses[:, :3, :4] = raw[:, -12:].reshape(-1, 3, 4)
-        return poses
+        return _kitti_row_poses(self.pose_path)
 
     def __call__(self, idx: int) -> np.ndarray:
         return self.source(idx)
 
 
 class MulranSequence:
-    """MulRan: Ouster bins named by timestamp, poses in KITTI-format rows
-    (reference `datasets/utils/mulran.py`)."""
+    """MulRan, reference layout: scans from `downsampled_xyzi/<seq>/<stamp>.npy`
+    (UNPADDED timestamp names — `datasets/registration/mulran/dataset.py:111`),
+    poses from `mulran/<seq>/sensor_data/poses_in_kitti_format.txt`; pose row
+    i belongs to the i-th sorted Ouster bin timestamp
+    (`datasets/utils/mulran.py:29-60`).  When the raw Ouster tree is absent
+    the timestamps are enumerated from the prepared npy names instead."""
 
     def __init__(self, root: str, seq: str, voxel_size: float = 0.3):
         self.seq_dir = osp.join(root, "mulran", seq, "sensor_data")
         self.scan_dir = osp.join(self.seq_dir, "Ouster")
-        self.down_dir = osp.join(self.seq_dir, "downsampled")
+        self.down_dir = osp.join(root, "downsampled_xyzi", seq)
+        self.legacy_down_dir = osp.join(self.seq_dir, "downsampled")
         self.pose_path = osp.join(self.seq_dir, "poses_in_kitti_format.txt")
         self.voxel_size = voxel_size
         names = glob.glob(osp.join(self.scan_dir, "*.bin"))
-        self.stamps = sorted(int(osp.basename(n)[:-4]) for n in names)
+        if not names:  # prepared tree only: stamps from the npy names
+            names = glob.glob(osp.join(self.down_dir, "*.npy"))
+        self.stamps = sorted(
+            int(osp.splitext(osp.basename(n))[0]) for n in names
+        )
 
     def poses(self) -> np.ndarray:
-        raw = np.loadtxt(self.pose_path)
-        poses = np.tile(np.eye(4), (len(raw), 1, 1))
-        poses[:, :3, :4] = raw[:, :12].reshape(-1, 3, 4)
-        return poses
+        return _kitti_row_poses(self.pose_path)
 
     def __call__(self, idx: int) -> np.ndarray:
         """idx is the sequential frame number; scans are timestamp-named."""
         stamp = self.stamps[idx] if idx < len(self.stamps) else idx
-        npy = osp.join(self.down_dir, f"{stamp}.npy")
-        if osp.exists(npy):
-            return np.ascontiguousarray(np.load(npy)[:, :3], np.float32)
+        for d in (self.down_dir, self.legacy_down_dir):
+            npy = osp.join(d, f"{stamp}.npy")
+            if osp.exists(npy):
+                return np.ascontiguousarray(np.load(npy)[:, :3], np.float32)
         pts = load_kitti_bin_native(osp.join(self.scan_dir, f"{stamp}.bin"))
         return voxel_downsample(pts, self.voxel_size)
 

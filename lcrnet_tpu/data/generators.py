@@ -292,3 +292,53 @@ def write_overlap_gt(path: str, gt: List[List[int]]) -> None:
     for i, positives in enumerate(gt):
         arr[i] = np.asarray(positives, dtype=np.float64)
     np.savez(path, arr)
+
+
+def generate_training_tuples(
+    poses: np.ndarray,
+    overlap_gt: List[List[int]],
+    num_neg_store: int = 18,
+    neg_min_distance: float = 15.0,
+    seed: int = 7351,
+) -> dict:
+    """(anchor, positives, negatives) training tuples from overlap GT.
+
+    Mirrors the reference's LD training metadata
+    (`datasets/loop_detection/kitti/dataset_overlap_online.py:187-210`:
+    anchors with `positive_idxs` from the overlap GT; `negative_idxs`
+    sampled from frames outside the positive set — here additionally
+    required to be > `neg_min_distance` away so negatives are true
+    non-revisits, not merely unlabeled neighbors).  NaN-gap poses
+    (KITTI-360 skipped frames) are never anchors, positives, or negatives.
+
+    Returns npz-ready dict of object arrays: anc_idx, pos_idx, neg_idx.
+    """
+    rng = np.random.default_rng(seed)
+    positions = poses[:, :3, 3]
+    valid = np.isfinite(positions).all(axis=1)
+    anc, pos, neg = [], [], []
+    for i, positives in enumerate(overlap_gt):
+        if not positives or not valid[i]:
+            continue
+        positives = [j for j in positives if valid[j]]
+        if not positives:
+            continue
+        d = np.linalg.norm(positions - positions[i], axis=1)
+        far = np.nonzero((d > neg_min_distance) & valid)[0]
+        far = far[~np.isin(far, positives)]
+        if len(far) == 0:
+            continue
+        take = min(num_neg_store, len(far))
+        anc.append(i)
+        pos.append(np.asarray(positives, np.int64))
+        neg.append(np.sort(rng.choice(far, size=take, replace=False)))
+    return {
+        "anc_idx": np.asarray(anc, np.int64),
+        "pos_idx": np.array(pos, dtype=object),
+        "neg_idx": np.array(neg, dtype=object),
+    }
+
+
+def write_training_tuples(path: str, tuples: dict) -> None:
+    """Write tuples in `experiments/train_loop_detection.py`'s npz schema."""
+    np.savez(path, **tuples)

@@ -69,7 +69,35 @@ def test_kitti360_tree(tmp_path, rng):
     assert scan.shape[1] == 3 and len(scan) > 0 and len(scan) <= len(raw)
 
 
-def test_ford_tree(tmp_path, rng):
+def _write_npy_tree(root, sub, frames, rng, fmt="{:06d}.npy"):
+    """Reference prepared tree: downsampled_xyzi/<sub>/<frame>.npy (N, 4)."""
+    d = osp.join(root, "downsampled_xyzi", sub)
+    os.makedirs(d, exist_ok=True)
+    for f in frames:
+        pts = rng.uniform(-30, 30, (100, 4)).astype(np.float32)
+        np.save(osp.join(d, fmt.format(f)), pts)
+    return d
+
+
+def test_ford_reference_tree(tmp_path, rng):
+    """A tree laid out per the reference's Ford convention
+    (`datasets/registration/ford/dataset.py:90-95`: downsampled_xyzi/%02d/
+    %06d.npy + sequences/%02d/poses.txt) loads unmodified."""
+    root = str(tmp_path)
+    _write_npy_tree(root, "01", [0, 1], rng)
+    os.makedirs(osp.join(root, "sequences", "01"))
+    poses = _random_poses(rng, 3)
+    with open(osp.join(root, "sequences", "01", "poses.txt"), "w") as f:
+        f.write(_pose_rows(poses))
+    seq = FordSequence(root, 1)
+    got = seq.poses()
+    assert got.shape == (3, 4, 4)
+    np.testing.assert_allclose(got[:, :3, :4], poses[:, :3, :4], atol=1e-6)
+    scan = seq(0)
+    assert scan.shape == (100, 3)
+
+
+def test_ford_raw_tree_fallback(tmp_path, rng):
     root = str(tmp_path)
     d = osp.join(root, "IJRR-Dataset-1")
     os.makedirs(osp.join(d, "velodyne"))
@@ -84,7 +112,16 @@ def test_ford_tree(tmp_path, rng):
     assert seq(0).shape[1] == 3
 
 
-def test_apollo_tree(tmp_path, rng):
+def test_apollo_reference_tree(tmp_path, rng):
+    """Reference Apollo convention (`datasets/registration/apollo/
+    dataset.py:104-112`): integer seqs 1-4 under downsampled_xyzi/%02d."""
+    root = str(tmp_path)
+    _write_npy_tree(root, "02", [7], rng)
+    seq = make_sequence("apollo", root, 2)
+    assert seq(7).shape == (100, 3)
+
+
+def test_apollo_raw_session_fallback(tmp_path, rng):
     root = str(tmp_path)
     session = "TrainData/BaylandsToSeafood"
     os.makedirs(osp.join(root, session, "pcds"))
@@ -115,6 +152,24 @@ def test_mulran_tree(tmp_path, rng):
     assert got.shape == (3, 4, 4)
     # frame index 1 resolves to the second timestamp-named scan
     assert seq(1).shape[1] == 3
+
+
+def test_mulran_reference_tree(tmp_path, rng):
+    """Prepared MulRan tree per `datasets/registration/mulran/dataset.py:111`:
+    downsampled_xyzi/<seq>/<stamp>.npy with UNPADDED timestamp names, stamps
+    enumerable without the raw Ouster bins."""
+    root = str(tmp_path)
+    stamps = [1561000000001, 1561000000500]
+    _write_npy_tree(root, "kaist01", stamps, rng, fmt="{:d}.npy")
+    sd = osp.join(root, "mulran", "kaist01", "sensor_data")
+    os.makedirs(sd)
+    poses = _random_poses(rng, 2)
+    with open(osp.join(sd, "poses_in_kitti_format.txt"), "w") as f:
+        f.write(_pose_rows(poses))
+    seq = MulranSequence(root, "kaist01")
+    assert seq.stamps == stamps
+    assert seq.poses().shape == (2, 4, 4)
+    assert seq(1).shape == (100, 3)
 
 
 def test_count_frames_per_family(tmp_path, rng):
