@@ -41,6 +41,10 @@ DEMO_DIR = "/root/reference/demo/data_demo"
 # bf16 peak of one TPU v5e chip (MXU), for the MFU denominator
 # (197 bf16 TFLOPS; the oft-quoted 394 figure is int8 TOPS)
 PEAK_FLOPS = 197e12
+# v5e HBM bandwidth, for the roofline floor: this workload is
+# selection/gather-bound, so bytes-accessed / BW is the relevant
+# speed-of-light, not FLOPs / MXU peak
+HBM_BW = 819e9
 
 
 def _sync(x):
@@ -84,11 +88,13 @@ def main():
     # XLA's own FLOP count for the forward program (falls back silently if
     # cost analysis is unavailable on this backend)
     flops_fwd = None
+    bytes_fwd = None
     try:
         cost = fwd.lower(params, rp, rm, sp, sm).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_fwd = float(cost.get("flops", 0.0)) or None
+        bytes_fwd = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:
         pass
 
@@ -186,6 +192,13 @@ def main():
         result["batched_mfu_pct"] = round(
             100.0 * flops_fwd * best_rate / PEAK_FLOPS, 2
         )
+    if bytes_fwd:
+        # roofline: the memory-bound floor is bytes/BW; how close is the
+        # measured latency to the speed of light for THIS byte volume?
+        floor_ms = bytes_fwd / HBM_BW * 1e3
+        result["forward_gbytes"] = round(bytes_fwd / 1e9, 2)
+        result["hbm_floor_ms"] = round(floor_ms, 1)
+        result["hbm_bw_util_pct"] = round(100.0 * floor_ms / (dt * 1e3), 1)
     print(json.dumps(result))
 
 

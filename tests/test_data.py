@@ -260,3 +260,45 @@ def test_mixed_rows_roundtrip(tmp_path):
         real = load_pair_npz_mixed(ref_file, frames=demo)
         got = {(q["anc_idx"], q["pos_idx"]) for q in real}
         assert got == {(3528, 560), (3854, 958), (4481, 26)}
+
+
+def test_training_tuples_from_overlap_gt(tmp_path, rng):
+    """LD training tuples (reference `dataset_overlap_online.py:187-210`
+    metadata): anchors = frames with overlap positives; negatives sampled
+    beyond neg_min_distance and outside the positive set; NaN-gap poses
+    excluded everywhere; npz round-trips through train_loop_detection's
+    loader schema."""
+    import os.path as osp
+
+    from lcrnet_tpu.data.generators import (
+        generate_training_tuples,
+        write_training_tuples,
+    )
+
+    n = 40
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 0, 3] = np.arange(n) * 2.0       # straight line, 2 m spacing
+    poses[5] = np.nan                          # KITTI-360-style pose gap
+    overlap_gt = [[] for _ in range(n)]
+    overlap_gt[30] = [2, 3]
+    overlap_gt[35] = [5]                       # positive IS the NaN frame
+    overlap_gt[20] = [19]
+
+    tuples = generate_training_tuples(poses, overlap_gt, num_neg_store=6,
+                                      neg_min_distance=15.0)
+    assert list(tuples["anc_idx"]) == [20, 30]  # 35's only positive is NaN
+    by_anchor = dict(zip(tuples["anc_idx"],
+                         zip(tuples["pos_idx"], tuples["neg_idx"])))
+    pos30, neg30 = by_anchor[30]
+    assert list(pos30) == [2, 3]
+    # negatives: > 15 m from frame 30 (|i-30| > 7.5), valid, not positive
+    assert len(neg30) == 6
+    d = np.abs(neg30 - 30) * 2.0
+    assert (d > 15.0).all()
+    assert 5 not in neg30 and not np.isin(neg30, pos30).any()
+
+    path = str(tmp_path / "tuples.npz")
+    write_training_tuples(path, tuples)
+    d2 = np.load(path, allow_pickle=True)
+    loaded = list(zip(d2["anc_idx"], d2["pos_idx"], d2["neg_idx"]))
+    assert len(loaded) == 2 and int(loaded[1][0]) == 30
