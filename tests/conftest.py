@@ -59,6 +59,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
+# Subprocess CLIs (tests/test_cli_end_to_end.py spawns experiment scripts)
+# read these from the environment — without them every CLI test recompiles
+# its model programs from scratch (measured: 58 s for preextract alone).
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+os.environ["JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES"] = "all"
+
 import numpy as np
 import pytest
 
@@ -66,3 +74,16 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(7351)
+
+
+@pytest.fixture(scope="session")
+def shared_test_params():
+    """One `init_params(make_test_cfg())` for the whole session.
+
+    The jitted init of the full model costs ~20 s on CPU; several modules
+    (checkpoint, model, engine) only need *a* valid parameter tree, not a
+    private one — jax arrays are immutable, so sharing is safe."""
+    from lcrnet_tpu.config import make_test_cfg
+    from lcrnet_tpu.pipeline import init_params
+
+    return init_params(make_test_cfg())

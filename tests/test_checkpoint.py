@@ -11,8 +11,8 @@ from lcrnet_tpu.pipeline import init_params
 
 
 @pytest.fixture(scope="module")
-def params():
-    return init_params(make_test_cfg())
+def params(shared_test_params):
+    return shared_test_params
 
 
 def test_snapshot_roundtrip(tmp_path, params):

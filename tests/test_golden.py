@@ -49,7 +49,9 @@ def compute_outputs():
 
     rp, rm = pad(ref)
     sp, sm = pad(src)
-    fwd = make_pair_forward(cfg)
+    # jitted: hits the session persistent cache instead of 60+ s of op-by-op
+    # dispatch; goldens below were regenerated for the fused numerics
+    fwd = jax.jit(make_pair_forward(cfg))
     out = fwd(params, rp, rm, sp, sm)
     desc_dist = float(
         np.linalg.norm(np.asarray(out["ref_feature_global"]) - np.asarray(out["src_feature_global"]))

@@ -39,31 +39,47 @@ def build_pair_pyramid(cfg, ref, src):
 
     rp, rm = pad(ref)
     sp, sm = pad(src)
-    return jax.vmap(
-        lambda p, m: build_pyramid(p, m, caps, lims, 0.3, 1.275)
+    return jax.jit(
+        jax.vmap(lambda p, m: build_pyramid(p, m, caps, lims, 0.3, 1.275))
     )(jnp.stack([rp, sp]), jnp.stack([rm, sm]))
 
 
 @pytest.fixture(scope="module")
-def setup():
+def setup(shared_test_params):
     rng = np.random.default_rng(7351)
     cfg = make_test_cfg()
     ref, src, t = make_pair(rng, n=400)
     pyramid = build_pair_pyramid(cfg, ref, src)
     model = LCRNet(cfg)
-    params = model.init(
-        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-        pyramid,
-        jnp.asarray(t),
-        training=True,
-        with_fine_matching=False,
-    )
+    # parameter values are input-independent (standard initializers), so the
+    # session-shared init_params tree is the same tree model.init would build
+    params = shared_test_params
     return cfg, model, params, pyramid, jnp.asarray(t)
 
 
-def test_forward_eval_shapes(setup):
+@pytest.fixture(scope="module")
+def jitted(setup):
+    """Jitted forward variants: eager flax apply on CPU is ~60 s per call,
+    the jitted programs land in the session persistent cache instead."""
+    cfg, model, _, _, _ = setup
+    fwd_eval = jax.jit(lambda p, pyr, t: model.apply(p, pyr, t, training=False))
+    train_losses = jax.jit(
+        lambda p, pyr, t, key: overall_loss(
+            model.apply(
+                p, pyr, t, training=True, with_fine_matching=False,
+                rngs={"sampling": key},
+            ),
+            t,
+            cfg,
+        )
+    )
+    describe = jax.jit(lambda p, pyr: model.apply(p, pyr, method=LCRNet.describe))
+    return fwd_eval, train_losses, describe
+
+
+def test_forward_eval_shapes(setup, jitted):
     cfg, model, params, pyramid, t = setup
-    out = model.apply(params, pyramid, t, training=False)
+    out = jitted[0](params, pyramid, t)
     assert out["ref_feature_global"].shape == (256,)
     assert out["src_feature_global"].shape == (256,)
     np.testing.assert_allclose(
@@ -77,17 +93,9 @@ def test_forward_eval_shapes(setup):
     assert int(np.asarray(out["corr_valid"]).sum()) > 0
 
 
-def test_forward_train_losses_finite(setup):
+def test_forward_train_losses_finite(setup, jitted):
     cfg, model, params, pyramid, t = setup
-    out = model.apply(
-        params,
-        pyramid,
-        t,
-        training=True,
-        with_fine_matching=False,
-        rngs={"sampling": jax.random.PRNGKey(2)},
-    )
-    losses = overall_loss(out, t, cfg)
+    losses = jitted[1](params, pyramid, t, jax.random.PRNGKey(2))
     for k, v in losses.items():
         assert np.isfinite(float(v)), f"{k} not finite: {v}"
     assert float(losses["loss"]) > 0
@@ -111,20 +119,20 @@ def test_gradients_flow(setup):
     assert sum(n > 0 for n in norms) > len(norms) * 0.5  # most params get grads
 
 
-def test_describe_path(setup):
+def test_describe_path(setup, jitted):
     cfg, model, params, pyramid, t = setup
-    desc = model.apply(params, pyramid, method=LCRNet.describe)
+    desc = jitted[2](params, pyramid)
     assert desc.shape == (2, 256)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(desc), axis=1), 1.0, atol=1e-4)
 
 
-def test_identity_pair_descriptor_match(setup):
+def test_identity_pair_descriptor_match(setup, jitted):
     """Same cloud twice -> identical descriptors."""
     cfg, model, params, _, _ = setup
     rng = np.random.default_rng(3)
     ref, _, _ = make_pair(rng, n=300)
     pyr = build_pair_pyramid(cfg, ref, ref.copy())
-    desc = model.apply(params, pyr, method=LCRNet.describe)
+    desc = jitted[2](params, pyr)
     d = np.linalg.norm(np.asarray(desc[0]) - np.asarray(desc[1]))
     assert d < 1e-4
 
@@ -140,9 +148,9 @@ def test_triplet_loss_values():
     np.testing.assert_allclose(float(loss2), 1.5, atol=1e-6)
 
 
-def test_evaluator_perfect_estimate(setup):
+def test_evaluator_perfect_estimate(setup, jitted):
     cfg, model, params, pyramid, t = setup
-    out = model.apply(params, pyramid, t, training=False)
+    out = jitted[0](params, pyramid, t)
     out = dict(out)
     out["estimated_transform"] = t  # pretend perfect
     res = evaluate_pair(out, t, cfg)

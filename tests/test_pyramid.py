@@ -27,6 +27,14 @@ def pad(points, cap):
     return jnp.asarray(out), jnp.asarray(mask)
 
 
+
+def jbuild(p, m, caps, limits, voxel=0.3, radius=1.275):
+    """Jitted build_pyramid (eager dispatch costs tens of seconds on CPU;
+    the jitted program lands in the session persistent cache)."""
+    return jax.jit(
+        lambda p, m: build_pyramid(p, m, caps, limits, voxel, radius)
+    )(p, m)
+
 def test_pyramid_shapes_and_stages(rng):
     pts = make_cloud(rng)
     p, m = pad(pts, 768)
@@ -51,7 +59,7 @@ def test_pyramid_shapes_and_stages(rng):
 def test_pyramid_stage1_matches_oracle(rng):
     pts = make_cloud(rng, n=400)
     p, m = pad(pts, 512)
-    pyr = build_pyramid(p, m, (512, 256, 128, 64), (8, 8, 8, 8), 0.3, 1.275)
+    pyr = jbuild(p, m, (512, 256, 128, 64), (8, 8, 8, 8))
     want = grid_subsample_oracle(pts.astype(np.float64), 0.6)
     got = np.asarray(pyr.points[1])[np.asarray(pyr.masks[1])]
     assert len(got) == len(want)
@@ -63,7 +71,7 @@ def test_pyramid_stage1_matches_oracle(rng):
 def test_pyramid_neighbor_tables_are_self_consistent(rng):
     pts = make_cloud(rng, n=300)
     p, m = pad(pts, 384)
-    pyr = build_pyramid(p, m, (384, 192, 96, 48), (12, 12, 12, 12), 0.3, 1.275)
+    pyr = jbuild(p, m, (384, 192, 96, 48), (12, 12, 12, 12))
     # every valid neighbor of stage 0 is within init_radius
     idx = np.asarray(pyr.neighbors[0])
     val = np.asarray(pyr.neighbor_masks[0])
@@ -90,12 +98,12 @@ def test_pyramid_batched_over_pair(rng):
     pb, mb = pad(pts_b, 384)
     stacked_p = jnp.stack([pa, pb])
     stacked_m = jnp.stack([ma, mb])
-    pyr = build_pyramid_batched(stacked_p, stacked_m, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275)
+    pyr = jax.jit(lambda a, b: build_pyramid_batched(a, b, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275))(stacked_p, stacked_m)
     assert pyr.points[0].shape == (2, 384, 3)
     counts = np.asarray(pyr.masks[0]).sum(axis=1)
     np.testing.assert_array_equal(counts, [250, 280])
     # batched tables agree with the single-cloud path
-    single = build_pyramid(pa, ma, (384, 192, 96, 48), (8, 8, 8, 8), 0.3, 1.275)
+    single = jbuild(pa, ma, (384, 192, 96, 48), (8, 8, 8, 8))
     np.testing.assert_array_equal(np.asarray(pyr.neighbors[0][0]), np.asarray(single.neighbors[0]))
     np.testing.assert_array_equal(np.asarray(pyr.upsampling[0][0]), np.asarray(single.upsampling[0]))
 
