@@ -1,0 +1,318 @@
+#!/usr/bin/env python
+"""Full-pipeline cross-implementation parity on the real KITTI-00 demo pair.
+
+Executes the reference's OWN full LCRNet (`model_family/LCRNet.py:25-321`,
+torch CPU, its own C++ collate extension) and this framework's pair forward
+side by side with IDENTICAL weights (reference random init, pushed through
+`engine/convert.py`) and identical kernel dispositions / neighbor limits,
+then compares everything that is permutation-comparable across the two
+designs:
+
+  1. pyramid stage point SETS per cloud (4 stages of voxel subsampling:
+     `utils/extensions/cpu/grid_subsampling` vs `ops/grid_subsample.py`)
+  2. stage-4 encoder features, aligned point-by-point across
+     implementations by coordinate matching (4 KPConv stages + GroupNorm +
+     LeakyReLU: `backbone4.py:11-89` vs `models/backbone.py`)
+  3. the 256-d global descriptors and their pair L2 distance
+     (`LCRNet.py:115-122` NetVLAD head vs `models/netvlad.py`)
+
+The matching/vote stack BELOW the descriptor head is deliberately out of
+scope here: the greedy NMS keep-set depends on point iteration order, which
+this framework intentionally canonicalizes (x-sorted stages) — those
+modules are parity-pinned at module level instead
+(`tests/test_torch_parity.py`).  What this adds over the module suite is
+end-to-end evidence on REAL scans: the C++ pyramid semantics, the ragged->
+padded refactor, and the full encoder stack compose to the same numbers.
+
+Divergence sources that remain (and bound the tolerances):
+  - voxel barycenters are summed in different orders (fp assoc.)
+  - neighbor rows truncate at `limit` by distance; distance TIES at the
+    cut can resolve differently
+  - GroupNorm couples the stacked pair in the reference pair model; the
+    pair path here does the same (`norm_clouds=2`), so this matches.
+
+Writes FULL_PARITY.json at the repo root and prints a summary.
+
+Deterministic-kernel note: the reference re-randomizes its kernel-point
+rotation + noise at every model build (`kernel_points.py:428-455`); both
+sides here pin the raw PLY dispositions (`k_015_center_3D.ply`), which is
+exactly what `models/kernel_points.set_unit_dispositions` exists for.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+REF_ROOT = "/root/reference"
+DEMO_DIR = osp.join(REF_ROOT, "demo", "data_demo")
+DISPOSITIONS_PLY = osp.join(
+    REF_ROOT, "experiments/lcrnet/modules/kpconv/dispositions/k_015_center_3D.ply"
+)
+
+
+def _match_sets(a: np.ndarray, b: np.ndarray, tol: float):
+    """Greedy nearest match of rows of a to rows of b; returns (idx, dists).
+
+    Both sides are expected to hold the same point set up to fp noise, so a
+    plain per-row nearest neighbor (no mutual exclusion) suffices — ties
+    would mean duplicate points, which voxel subsampling precludes."""
+    # chunked to keep the (n, m) distance matrix bounded
+    idx = np.empty(len(a), np.int64)
+    dd = np.empty(len(a), np.float64)
+    step = 512  # bounds the (step, m, 3) broadcast temp to ~200 MB
+    for s in range(0, len(a), step):
+        d = np.linalg.norm(a[s : s + step, None, :] - b[None, :, :], axis=-1)
+        idx[s : s + step] = d.argmin(axis=1)
+        dd[s : s + step] = d.min(axis=1)
+    return idx, dd
+
+
+def run_reference(limits, scans):
+    """Reference collate + full LCRNet forward; returns per-cloud stage
+    points, stage-4 features, and global descriptors."""
+    from experiments.baseline_torch import build_ext, install_shims
+
+    install_shims()
+    import torch
+
+    torch.set_num_threads(1)
+    build_ext()
+
+    # deterministic kernel dispositions: raw PLY, no per-build rotation/noise
+    from lcrnet_tpu.models.kernel_points import parse_ply_xyz
+
+    ply = parse_ply_xyz(DISPOSITIONS_PLY)
+    import experiments.lcrnet.modules.kpconv.kpconv as ref_kpconv
+
+    ref_kpconv.load_kernels = (
+        lambda radius, num_kpoints, dimension=3, fixed="center", lloyd=False: (
+            radius * ply
+        ).astype(np.float32)
+    )
+
+    import experiments.lcrnet.backbone4 as backbone4
+    from experiments.lcrnet.config_model import make_cfg as make_cfg_model
+    from experiments.lcrnet.data import registration_collate_fn_stack_mode
+    from experiments.lcrnet.model_family.LCRNet import create_model
+
+    _orig_rs = backbone4.radius_search
+    backbone4.radius_search = lambda *a, **k: _orig_rs(*a, **k).contiguous()
+
+    cfg = make_cfg_model()
+    cfg.vis = False
+    cfg.neighbor_limits = list(limits)
+
+    torch.manual_seed(7351)
+    model = create_model(cfg).eval()
+
+    ref_pts, src_pts = scans
+    item = {
+        "ref_points": ref_pts,
+        "src_points": src_pts,
+        "ref_feats": np.ones((ref_pts.shape[0], 1), np.float32),
+        "src_feats": np.ones((src_pts.shape[0], 1), np.float32),
+        "transform": None,
+        "pos_idx": 3854,
+        "anc_idx": 958,
+    }
+    data = registration_collate_fn_stack_mode(
+        [item], cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius, list(limits),
+    )
+
+    def _contig(obj):
+        if isinstance(obj, torch.Tensor):
+            return obj.contiguous()
+        if isinstance(obj, list):
+            return [_contig(x) for x in obj]
+        if isinstance(obj, dict):
+            return {k: _contig(v) for k, v in obj.items()}
+        return obj
+
+    data = _contig(data)
+
+    # capture the encoder stage-4 features as they enter the global head
+    captured = []
+    head = model.GlobalDescritionHEAD
+
+    def _capturing_head(feats_c):
+        captured.append(feats_c.detach().clone().numpy())
+        return head(feats_c)
+
+    model.GlobalDescritionHEAD = _capturing_head
+
+    with torch.no_grad():
+        out = model(data)
+
+    lengths = [l.numpy() for l in data["lengths"]]
+    stage_points = []
+    for s, pts in enumerate(data["points"]):
+        pts = pts.numpy()
+        n_ref = int(lengths[s][0])
+        stage_points.append((pts[:n_ref], pts[n_ref:]))
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return {
+        "stage_points": stage_points,
+        "s4_feats": (captured[0], captured[1]),  # (ref, src), raw pre-normalize
+        "desc": (
+            out["pos_feature_global"].numpy()[0],
+            out["anc_feature_global"].numpy()[0],
+        ),
+        "state_dict": sd,
+    }
+
+
+def run_ours(limits, scans, state_dict):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.data.kitti import pad_points
+    from lcrnet_tpu.engine.convert import convert_state_dict
+    from lcrnet_tpu.models.kernel_points import load_reference_dispositions
+    from lcrnet_tpu.models.lcrnet import LCRNet
+    from lcrnet_tpu.pipeline import build_batch_pyramid
+
+    load_reference_dispositions(DISPOSITIONS_PLY)
+
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, shapes=dataclasses.replace(cfg.shapes, neighbor_limits=tuple(limits))
+    )
+    params = jax.tree.map(jnp.asarray, convert_state_dict(state_dict))
+
+    model = LCRNet(cfg)
+    cap = cfg.shapes.points[0]
+    rp, rm = pad_points(scans[0], cap)
+    sp, sm = pad_points(scans[1], cap)
+    pts = jnp.asarray(np.stack([rp, sp]))
+    msk = jnp.asarray(np.stack([rm, sm]))
+
+    @jax.jit
+    def run(params, pts, msk):
+        pyramid = build_batch_pyramid(pts, msk, cfg)
+        out, inter = model.apply(
+            params, pyramid, jnp.eye(4), training=False,
+            capture_intermediates=lambda mdl, name: mdl.name == "encoder",
+        )
+        return pyramid, out, inter
+
+    pyramid, out, inter = run(params, pts, msk)
+
+    feats_list = inter["intermediates"]["encoder"]["__call__"][0]
+    s4 = np.asarray(feats_list[3])  # (2, cap4, 1024)
+    stage_points = []
+    for s in range(4):
+        p = np.asarray(pyramid.points[s])
+        m = np.asarray(pyramid.masks[s])
+        stage_points.append((p[0][m[0]], p[1][m[1]]))
+    m3 = np.asarray(pyramid.masks[3])
+    return {
+        "stage_points": stage_points,
+        "s4_feats": (s4[0][m3[0]], s4[1][m3[1]]),
+        "s4_points": (stage_points[3][0], stage_points[3][1]),
+        "desc": (
+            np.asarray(out["ref_feature_global"]),
+            np.asarray(out["src_feature_global"]),
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--limits", default=None,
+                    help="comma neighbor limits (default: shipped calibrated)")
+    ap.add_argument("--out", default=osp.join(REPO, "FULL_PARITY.json"))
+    args = ap.parse_args()
+
+    from lcrnet_tpu.config import make_cfg
+
+    limits = (
+        tuple(int(x) for x in args.limits.split(","))
+        if args.limits
+        else make_cfg().shapes.neighbor_limits
+    )
+
+    ref_scan = np.load(osp.join(DEMO_DIR, "003854.npy"))[:, :3].astype(np.float32)
+    src_scan = np.load(osp.join(DEMO_DIR, "000958.npy"))[:, :3].astype(np.float32)
+    scans = (ref_scan, src_scan)
+
+    print(f"[1/3] reference torch full LCRNet (limits={limits}) ...", flush=True)
+    ref = run_reference(limits, scans)
+    print("[2/3] converting weights + running the JAX pair forward ...", flush=True)
+    ours = run_ours(limits, scans, ref["state_dict"])
+
+    print("[3/3] comparing ...", flush=True)
+    report = {"limits": list(limits), "stages": [], "s4": {}, "descriptor": {}}
+
+    # ---- pyramid stage sets
+    for s in range(4):
+        row = {"stage": s}
+        for ci, cname in ((0, "ref"), (1, "src")):
+            a = ref["stage_points"][s][ci]
+            b = ours["stage_points"][s][ci]
+            row[f"{cname}_count_torch"] = int(len(a))
+            row[f"{cname}_count_jax"] = int(len(b))
+            if len(a) == len(b):
+                idx, dd = _match_sets(a, b, 1e-4)
+                row[f"{cname}_max_match_dist"] = float(dd.max())
+                row[f"{cname}_bijective"] = bool(len(np.unique(idx)) == len(b))
+        report["stages"].append(row)
+
+    # ---- stage-4 features, aligned by coordinates
+    for ci, cname in ((0, "ref"), (1, "src")):
+        pts_t = ref["stage_points"][3][ci]
+        f_t = ref["s4_feats"][ci]
+        pts_j = ours["s4_points"][ci]
+        f_j = ours["s4_feats"][ci]
+        if len(pts_t) != len(pts_j):
+            report["s4"][cname] = {"error": "count mismatch"}
+            continue
+        idx, dd = _match_sets(pts_t, pts_j, 1e-4)
+        fa = f_t
+        fb = f_j[idx]
+        denom = np.maximum(np.abs(fa), 1e-3)
+        rel = np.abs(fa - fb) / denom
+        cos = np.sum(fa * fb, -1) / np.maximum(
+            np.linalg.norm(fa, axis=-1) * np.linalg.norm(fb, axis=-1), 1e-12
+        )
+        report["s4"][cname] = {
+            "n": int(len(fa)),
+            "max_abs_diff": float(np.abs(fa - fb).max()),
+            "mean_abs_diff": float(np.abs(fa - fb).mean()),
+            "p99_rel_diff": float(np.quantile(rel, 0.99)),
+            "min_row_cosine": float(cos.min()),
+            "max_match_dist": float(dd.max()),
+        }
+
+    # ---- descriptors
+    for ci, cname in ((0, "ref"), (1, "src")):
+        a, b = ref["desc"][ci], ours["desc"][ci]
+        report["descriptor"][cname] = {
+            "max_abs_diff": float(np.abs(a - b).max()),
+            "cosine": float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))),
+        }
+    d_t = float(np.linalg.norm(ref["desc"][0] - ref["desc"][1]))
+    d_j = float(np.linalg.norm(ours["desc"][0] - ours["desc"][1]))
+    report["descriptor"]["pair_L2_torch"] = d_t
+    report["descriptor"]["pair_L2_jax"] = d_j
+    report["descriptor"]["pair_L2_abs_diff"] = abs(d_t - d_j)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,12 @@ class ShapeBudget:
     [64, 65, 74, 80] per `dataset_loop_detection.py:25`).
     """
 
-    points: Tuple[int, ...] = (20480, 8192, 2560, 768)
+    # stage-4 sized for the real 0.3 m-downsampled KITTI scans: the
+    # reference pyramid on the demo pairs reaches 782-969 coarse points per
+    # cloud (measured via experiments/full_parity.py against the reference's
+    # own C++ collate); the earlier 768 budget silently cropped the x-sorted
+    # tail of up to 20% of the coarse points
+    points: Tuple[int, ...] = (20480, 8192, 2560, 1024)
     # measured 80% quantile over the real KITTI-00 demo scans
     # (data/calibrate.py on /root/reference/demo/data_demo, 2026-08; the
     # reference's own calibration lands at ~[64, 65, 74, 80])
@@ -43,11 +48,14 @@ class ShapeBudget:
     # farthest-in-x neighbors (the calibrated-limit truncation philosophy).
     search_windows: Tuple[int, ...] = (3072, 1792, 1408, 896)
     # width of the subsampling (coarse<-fine) pooling tables per transition
-    max_nodes: int = 256           # node budget after NMS (per cloud)
+    # node budget after NMS (per cloud): the reference's greedy NMS keeps
+    # 336-402 nodes per demo scan (measured by running its vote encoder
+    # verbatim; see NOTES.md round 3) — 256 cropped up to a third of them
+    max_nodes: int = 512
     # max coarse (node) correspondences; the dustbin-mode union of row/col
     # argmax winners holds at most M+N entries, so 2*max_nodes covers the
     # worst case exactly (reference keeps all, `superpoint_matching.py:146-151`)
-    node_corr_limit: int = 512
+    node_corr_limit: int = 1024
     corr_limit: int = 2048         # max global dense correspondences for LGR
     vote_neighbor_limit: int = 40  # runtime radius search around voted nodes
 

@@ -286,7 +286,7 @@ def radius_search_banded_batched(
     s_mask: jnp.ndarray,
     radius: float,
     limit: int,
-    block_size: int = 2048,
+    block_size: int = 128,
     window: int = 4096,
     presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -300,6 +300,17 @@ def radius_search_banded_batched(
     window overflow (more than `window` supports within the block's x-span
     + 2 radius — an extremely dense x-slab) drops the farthest-x surplus,
     mirroring the reference's neighbor-limit truncation philosophy.
+
+    COVERAGE CONTRACT: `window` must hold every support whose x lies in
+    [block_min_x - radius, block_max_x + radius].  That count grows with
+    the query block's x-span, so `block_size` is part of the calibration:
+    the per-stage windows in `ShapeBudget.search_windows` were measured at
+    the Pallas kernel's 128-row query blocks.  The previous 2048 default
+    here violated the contract at production shapes (a 2048-query block
+    spans far more supports than any calibrated window — measured 20%
+    EMPTY stage-1 rows on the real demo scans, caught by
+    `experiments/full_parity.py` against the reference's C++ tables), so
+    the default now matches the Pallas block size.
 
     presorted: both sides already x-ascending with pads at the tail (the
     canonical pyramid-stage order); skips the argsorts, remap and

@@ -106,3 +106,32 @@ def test_banded_presorted_matches_default(rng):
     )
     np.testing.assert_array_equal(np.asarray(di), np.asarray(pi))
     np.testing.assert_array_equal(np.asarray(dv), np.asarray(pv))
+
+
+def test_banded_default_block_respects_window_contract(rng):
+    """Regression: the per-stage windows are calibrated for ~128-row query
+    blocks (the Pallas kernel's).  With the old 2048-row default block the
+    window could not cover a block's x-span + 2r band at production-like
+    shapes — 20% of stage-1 rows came back EMPTY on the real demo scans
+    (caught by experiments/full_parity.py vs the reference's C++ tables).
+    Run the production call shape (default block_size, presorted, window
+    smaller than the cloud) and demand set-equality with the dense sweep."""
+    n = 6144
+    pts = np.zeros((1, n, 3), np.float32)
+    pts[0, :, 0] = np.sort(rng.uniform(-60, 60, n)).astype(np.float32)  # presorted by x
+    pts[0, :, 1] = rng.uniform(-20, 20, n)
+    pts[0, :, 2] = rng.uniform(-1, 1, n)
+    msk = np.ones((1, n), bool)
+    pts, msk = jnp.asarray(pts), jnp.asarray(msk)
+    radius, limit = 2.55, 24
+    di, dv = radius_search_batched(pts, pts, msk, msk, radius, limit)
+    bi, bv = radius_search_banded_batched(
+        pts, pts, msk, msk, radius, limit, window=1024, presorted=True
+    )
+    di, dv, bi, bv = map(np.asarray, (di, dv, bi, bv))
+    empty_with_true = np.logical_and(~bv.any(-1), dv.any(-1)).mean()
+    assert empty_with_true == 0.0
+    for i in range(0, n, 37):
+        want = set(di[0, i][dv[0, i]].tolist())
+        got = set(bi[0, i][bv[0, i]].tolist())
+        assert want == got, i
