@@ -80,10 +80,48 @@ def random_rigid(rng, max_yaw=np.pi, max_xy=8.0, max_z=0.3):
     return t
 
 
-def make_train_sample(scans, rng, cfg, gt_pairs_train):
-    """One augmented training pair: either a sector-cropped self-pair with a
-    random rigid motion, or (30%) one of the real GT pairs between training
-    scans — both through the reference augmentation recipe."""
+def displaced_view(points, rng, max_disp=8.0, sensor_range=50.0,
+                   n_az_bins=720):
+    """Re-render a scan as seen by a sensor displaced in the plane.
+
+    Same-origin sector crops (the r02-r04 recipe) share the exact density
+    pattern and visibility of the original sweep, so the only train-time
+    difference between the two views of a self-pair is the azimuth window —
+    while real loop pairs (the held-out GT pair measures IR ~0.2) differ by
+    parallax: range-dependent density centred on a *different* origin, and
+    occlusion shadows behind foreground structure.  This emulates both:
+
+      1. range limit + 1/r survival falloff from a displaced origin;
+      2. crude occlusion: per azimuth bin (from the new origin), points
+         more than `shadow_depth` beyond the nearest above-ground return
+         in that bin are shadowed.
+    """
+    o = np.zeros(3, np.float32)
+    o[:2] = rng.uniform(-max_disp, max_disp, 2)
+    rel = points - o
+    r = np.linalg.norm(rel[:, :2], axis=1) + 1e-6
+    keep = r < sensor_range
+    # density falloff: voxel-downsampled scans are near-uniform close in,
+    # thinning with range; from a shifted origin the falloff re-centres
+    surv = np.clip(18.0 / r, 0.0, 1.0) ** 0.5      # ~1 inside 18 m, ~0.6 @ 50 m
+    keep &= rng.random(len(points)) < surv
+    # occlusion shadows: nearest above-sensor-height return per azimuth bin
+    az_bin = ((np.arctan2(rel[:, 1], rel[:, 0]) + np.pi)
+              / (2 * np.pi) * n_az_bins).astype(np.int64) % n_az_bins
+    tall = points[:, 2] > 0.3                      # structure, not road surface
+    near = np.full(n_az_bins, np.inf, np.float32)
+    np.minimum.at(near, az_bin[tall], r[tall])
+    shadow_depth = rng.uniform(12.0, 35.0)
+    keep &= r <= near[az_bin] + shadow_depth
+    return points[keep]
+
+
+def make_train_sample(scans, rng, cfg, gt_pairs_train, crop_mode="sector"):
+    """One augmented training pair: either a self-pair with a random rigid
+    motion (crop_mode `sector`: same-origin sector crops; `displaced`:
+    parallax-realistic displaced-viewpoint re-renders + sector crops), or
+    (30%) one of the real GT pairs between training scans — both through
+    the reference augmentation recipe."""
     from lcrnet_tpu.data.kitti import AugmentConfig, augment_pair, pad_points
 
     aug = AugmentConfig(
@@ -98,6 +136,19 @@ def make_train_sample(scans, rng, cfg, gt_pairs_train):
         ref = scans[pair["pos_idx"]]
         src = scans[pair["anc_idx"]]
         t = pair["transform"].copy()
+    elif crop_mode == "displaced":
+        scan = scans[TRAIN_FRAMES[rng.integers(len(TRAIN_FRAMES))]]
+        # independent displaced origins give each view its own density
+        # centre + occlusion shadows; a wide sector crop on top keeps the
+        # low-overlap spectrum of the sector recipe
+        ref = sector_crop(displaced_view(scan, rng), rng,
+                          width_deg=rng.uniform(250, 360))
+        src = sector_crop(displaced_view(scan, rng), rng,
+                          width_deg=rng.uniform(250, 360))
+        # move src into its own frame: src_frame = inv(t) @ world
+        t = random_rigid(rng)
+        inv = np.linalg.inv(t)
+        src = (src @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
     else:
         scan = scans[TRAIN_FRAMES[rng.integers(len(TRAIN_FRAMES))]]
         # varied crop widths synthesize a wide overlap spectrum: widths in
@@ -107,7 +158,6 @@ def make_train_sample(scans, rng, cfg, gt_pairs_train):
         # held-out GT pair measures IR ~0.2)
         ref = sector_crop(scan, rng, width_deg=rng.uniform(210, 360))
         src = sector_crop(scan, rng, width_deg=rng.uniform(210, 360))
-        # move src into its own frame: src_frame = inv(t) @ world
         t = random_rigid(rng)
         inv = np.linalg.inv(t)
         src = (src @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
@@ -222,6 +272,11 @@ def main():
     ap.add_argument("--ema", type=float, default=0.0)
     ap.add_argument("--chunk", type=int, default=8,
                     help="train steps per device dispatch (lax.scan chunk)")
+    # self-pair synthesis: `sector` = same-origin azimuth crops (r02-r04);
+    # `displaced` adds parallax realism (displaced-origin density falloff +
+    # occlusion shadows) — the visibility structure real loop pairs have
+    ap.add_argument("--crop_mode", choices=["sector", "displaced"],
+                    default="sector")
     ap.add_argument("--output", default="output/accuracy_r02")
     ap.add_argument("--snapshot", default=None, help="resume registration params")
     ap.add_argument("--skip_train", action="store_true")
@@ -273,7 +328,8 @@ def main():
 
     report = {"config": {"steps": args.steps, "desc_steps": args.desc_steps,
                          "neighbor_limits": list(cfg.shapes.neighbor_limits),
-                         "train_frames": TRAIN_FRAMES, "seed": args.seed}}
+                         "train_frames": TRAIN_FRAMES, "seed": args.seed,
+                         "crop_mode": args.crop_mode, "ema": args.ema}}
 
     # ---------------- stage 1: registration training ----------------
     if not args.skip_train and args.steps > 0:
@@ -294,7 +350,8 @@ def main():
             for _ in range(args.steps // k_steps):
                 ps, ms, ts = [], [], []
                 for _k in range(k_steps):
-                    rp, rm, sp, sm, t = make_train_sample(scans, rng, cfg, gt_pairs_train)
+                    rp, rm, sp, sm, t = make_train_sample(
+                        scans, rng, cfg, gt_pairs_train, crop_mode=args.crop_mode)
                     ps.append(np.stack([rp, sp])[None])
                     ms.append(np.stack([rm, sm])[None])
                     ts.append(t[None])

@@ -40,7 +40,25 @@ def load_snapshot(directory: str, step: Optional[int] = None, template=None) -> 
         if step is None:
             raise FileNotFoundError(f"no snapshot in {directory}")
         if template is not None:
-            return mgr.restore(step, args=ocp.args.StandardRestore(template))
+            try:
+                return mgr.restore(step, args=ocp.args.StandardRestore(template))
+            except ValueError:
+                # structure mismatch: a snapshot saved WITH opt_state must
+                # still load into a params-only template (the reference's
+                # strict=False restore, `base_trainer.py:138-177`).  Restore
+                # raw and take the requested top-level subtrees.
+                raw = mgr.restore(step)
+                missing = [k for k in template if k not in raw]
+                if missing:
+                    raise KeyError(f"snapshot {directory}@{step} lacks {missing}")
+                return {
+                    k: jax.tree.map(
+                        lambda t, v: np.asarray(v, dtype=t.dtype)
+                        if hasattr(t, "dtype") else v,
+                        template[k], raw[k],
+                    )
+                    for k in template
+                }
         return mgr.restore(step)
 
 

@@ -49,3 +49,18 @@ def test_merge_netvlad(params):
     enc_m = jax.tree_util.tree_leaves(merged["params"]["encoder"])
     for x, y in zip(enc_a, enc_m):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_params_only_template_from_opt_state_snapshot(tmp_path):
+    """A snapshot saved WITH opt_state must load into a params-only
+    template (descriptor CLIs restore weights from training snapshots that
+    carry Adan/Adam state — the reference's strict=False restore)."""
+    d = str(tmp_path / "snaps3")
+    params = {"params": {"w": jnp.arange(4.0), "b": jnp.zeros(2)}}
+    opt_state = {"count": jnp.zeros((), jnp.int32),
+                 "m": {"params": {"w": jnp.ones(4), "b": jnp.ones(2)}}}
+    save_snapshot(d, 5, params, opt_state)
+    loaded = load_snapshot(d, template={"params": params})
+    assert set(loaded) == {"params"}
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["params"]["w"]), np.arange(4.0))
