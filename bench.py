@@ -53,6 +53,54 @@ def _sync(x):
     np.asarray(leaf).ravel()[:1]
 
 
+def timed_median(run_block, n_it, reps=5, max_retries=4):
+    """Median of `reps` timed blocks with a relay-stall guard.
+
+    Each block enqueues `n_it` dispatches and fences once; the per-dispatch
+    time is block/n_it.  The axon relay can stall spontaneously mid-run
+    (observed: 10-25 min freezes, NOTES.md), which previously landed inside
+    a single timed region and produced incoherent rows (e.g. B=2 at 925 ms
+    vs B=1 at 160 ms).  Guard: a block > 3x the fastest block seen so far is
+    discarded and re-run (bounded by `max_retries`); the reported figure is
+    the median of the kept blocks, so one undetected hiccup cannot move the
+    headline.
+    """
+    times = []
+    retries = 0
+    best = None
+    while len(times) < reps:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_it):
+            out = run_block()
+        _sync(out)
+        dt = (time.perf_counter() - t0) / n_it
+        best = dt if best is None else min(best, dt)
+        if dt > 3.0 * best and retries < max_retries:
+            retries += 1
+            continue
+        times.append(dt)
+    return float(np.median(times)), retries
+
+
+def compiled_hbm_bytes(lowered_compiled):
+    """Peak-HBM estimate of a compiled program (args + temps + output).
+
+    Returns None when the backend does not expose memory analysis."""
+    try:
+        m = lowered_compiled.memory_analysis()
+        if m is None:
+            return None
+        return int(
+            getattr(m, "argument_size_in_bytes", 0)
+            + getattr(m, "temp_size_in_bytes", 0)
+            + getattr(m, "output_size_in_bytes", 0)
+            + getattr(m, "generated_code_size_in_bytes", 0)
+        )
+    except Exception:
+        return None
+
+
 def main():
     global jax
     import jax
@@ -98,25 +146,25 @@ def main():
     except Exception:
         pass
 
-    # steady-state forward (batch 1 -> latency)
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, rp, rm, sp, sm)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / iters
+    # steady-state forward (batch 1 -> latency): median of 5 timed blocks
+    # with a relay-stall guard (see timed_median)
+    dt, stalls1 = timed_median(lambda: fwd(params, rp, rm, sp, sm), n_it=8)
     pairs_per_sec = 1.0 / dt
 
     # batched operating points: aggregate pairs/s (the north-star metric is
     # throughput; batch 1 leaves the chip ~99% idle on this gather-bound
-    # workload).  Stop the sweep at the first HBM exhaustion.
+    # workload).  Each B gets its own warmup + compile; infeasible batch
+    # sizes are SKIPPED by an HBM-capacity precheck on the compiled program
+    # (v5e = 16 GB) instead of recorded as runtime errors.
     from lcrnet_tpu.pipeline import make_pairs_forward
 
+    HBM_CAPACITY = 16e9
     pair_pts = jnp.stack([rp, sp])   # (2, N, 3)
     pair_msk = jnp.stack([rm, sm])   # (2, N)
     batch_rows = [{
         "pairs": 1, "latency_ms": round(dt * 1e3, 1),
         "pairs_per_sec": round(pairs_per_sec, 2),
+        "stall_retries": stalls1,
     }]
     best_rate, best_b = pairs_per_sec, 1
     for b in (2, 4, 8):
@@ -124,14 +172,20 @@ def main():
             fwd_b = jax.jit(make_pairs_forward(cfg, b))
             pts_b = jnp.broadcast_to(pair_pts[None], (b,) + pair_pts.shape)
             msk_b = jnp.broadcast_to(pair_msk[None], (b,) + pair_msk.shape)
-            out_b = fwd_b(params, pts_b, msk_b)
-            _sync(out_b)
-            n_it = max(4, 16 // b)
-            t0 = time.perf_counter()
-            for _ in range(n_it):
+            compiled = fwd_b.lower(params, pts_b, msk_b).compile()
+            need = compiled_hbm_bytes(compiled)
+            if need is not None and need > 0.92 * HBM_CAPACITY:
+                batch_rows.append({
+                    "pairs": b, "skipped": "capacity",
+                    "est_hbm_gb": round(need / 1e9, 1),
+                })
+                break
+            # warmup (2 calls): first real execution + allocator settling
+            for _ in range(2):
                 out_b = fwd_b(params, pts_b, msk_b)
             _sync(out_b)
-            dt_b = (time.perf_counter() - t0) / n_it
+            dt_b, stalls_b = timed_median(
+                lambda: fwd_b(params, pts_b, msk_b), n_it=max(2, 8 // b))
         except Exception as e:  # HBM OOM ends the sweep, smaller Bs stand
             batch_rows.append({"pairs": b, "error": type(e).__name__})
             break
@@ -139,6 +193,7 @@ def main():
         batch_rows.append({
             "pairs": b, "latency_ms": round(dt_b * 1e3, 1),
             "pairs_per_sec": round(rate, 2),
+            "stall_retries": stalls_b,
         })
         if rate > best_rate:
             best_rate, best_b = rate, b
@@ -155,12 +210,13 @@ def main():
     key = jax.random.PRNGKey(0)
     state, metrics = step(state, batch, key)
     _sync(metrics["loss"])
-    train_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(train_iters):
-        state, metrics = step(state, batch, key)
-    _sync(metrics["loss"])
-    train_dt = (time.perf_counter() - t0) / train_iters
+
+    def _train_block():
+        nonlocal state
+        state, m = step(state, batch, key)
+        return m["loss"]
+
+    train_dt, _ = timed_median(_train_block, n_it=5, reps=3)
 
     baseline = BASELINE_PAIRS_PER_SEC
     baseline_src = "estimated"

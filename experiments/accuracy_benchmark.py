@@ -81,7 +81,7 @@ def random_rigid(rng, max_yaw=np.pi, max_xy=8.0, max_z=0.3):
 
 
 def displaced_view(points, rng, max_disp=8.0, sensor_range=50.0,
-                   n_az_bins=720):
+                   n_az_bins=720, origin=None, shadow_range=(12.0, 35.0)):
     """Re-render a scan as seen by a sensor displaced in the plane.
 
     Same-origin sector crops (the r02-r04 recipe) share the exact density
@@ -97,7 +97,7 @@ def displaced_view(points, rng, max_disp=8.0, sensor_range=50.0,
          in that bin are shadowed.
     """
     o = np.zeros(3, np.float32)
-    o[:2] = rng.uniform(-max_disp, max_disp, 2)
+    o[:2] = rng.uniform(-max_disp, max_disp, 2) if origin is None else origin
     rel = points - o
     r = np.linalg.norm(rel[:, :2], axis=1) + 1e-6
     keep = r < sensor_range
@@ -111,7 +111,7 @@ def displaced_view(points, rng, max_disp=8.0, sensor_range=50.0,
     tall = points[:, 2] > 0.3                      # structure, not road surface
     near = np.full(n_az_bins, np.inf, np.float32)
     np.minimum.at(near, az_bin[tall], r[tall])
-    shadow_depth = rng.uniform(12.0, 35.0)
+    shadow_depth = rng.uniform(*shadow_range)
     keep &= r <= near[az_bin] + shadow_depth
     return points[keep]
 
@@ -138,12 +138,23 @@ def make_train_sample(scans, rng, cfg, gt_pairs_train, crop_mode="sector"):
         t = pair["transform"].copy()
     elif crop_mode == "displaced":
         scan = scans[TRAIN_FRAMES[rng.integers(len(TRAIN_FRAMES))]]
-        # independent displaced origins give each view its own density
-        # centre + occlusion shadows; a wide sector crop on top keeps the
-        # low-overlap spectrum of the sector recipe
-        ref = sector_crop(displaced_view(scan, rng), rng,
+        # correlated displaced origins: the two views' origins differ by a
+        # baseline drawn from the GT pairs' actual range (1-8 m; measured
+        # baselines of the 3 demo GT pairs are 1.0/6.3/7.3 m), so parallax
+        # magnitude during training matches what eval pairs exhibit.  Wider
+        # shadow_range adds occlusion diversity (near-full shadows through
+        # almost-none).  A wide sector crop on top keeps the low-overlap
+        # spectrum of the sector recipe.
+        o1 = rng.uniform(-6.0, 6.0, 2).astype(np.float32)
+        ang = rng.uniform(0, 2 * np.pi)
+        o2 = o1 + rng.uniform(1.0, 8.0) * np.array(
+            [np.cos(ang), np.sin(ang)], np.float32)
+        shadows = (rng.uniform(6.0, 20.0), rng.uniform(20.0, 40.0))
+        ref = sector_crop(displaced_view(scan, rng, origin=o1,
+                                         shadow_range=shadows), rng,
                           width_deg=rng.uniform(250, 360))
-        src = sector_crop(displaced_view(scan, rng), rng,
+        src = sector_crop(displaced_view(scan, rng, origin=o2,
+                                         shadow_range=shadows), rng,
                           width_deg=rng.uniform(250, 360))
         # move src into its own frame: src_frame = inv(t) @ world
         t = random_rigid(rng)

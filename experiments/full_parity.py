@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import os.path as osp
 import sys
 
@@ -229,12 +230,214 @@ def run_ours(limits, scans, state_dict):
     }
 
 
+GT_NPZ = osp.join(REF_ROOT, "assets/data/kitti/registration/mixed/00.npz")
+DEMO_FRAMES = [26, 560, 958, 3528, 3854, 4481]
+
+
+def _pose_errors(est: np.ndarray, gt: np.ndarray):
+    """RRE (deg, chordal-equivalent acos trace) + RTE (m)."""
+    r = est[:3, :3] @ gt[:3, :3].T
+    c = np.clip((np.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    rre = float(np.degrees(np.arccos(c)))
+    rte = float(np.linalg.norm(est[:3, 3] - gt[:3, 3]))
+    return rre, rte
+
+
+def run_reference_pose(limits, pairs, scans, state_dict):
+    """Reference torch LCRNet with OUR trained weights (reverse-converted)
+    on the GT demo pairs: its own C++ collate, vote/NMS, OT, and LGR all the
+    way to `estimated_transform` (`model_family/LCRNet.py:258-299`)."""
+    from experiments.baseline_torch import build_ext, install_shims
+
+    install_shims()
+    import torch
+
+    torch.set_num_threads(max(1, os.cpu_count()))
+    build_ext()
+
+    from lcrnet_tpu.models.kernel_points import parse_ply_xyz
+
+    ply = parse_ply_xyz(DISPOSITIONS_PLY)
+    import experiments.lcrnet.modules.kpconv.kpconv as ref_kpconv
+
+    ref_kpconv.load_kernels = (
+        lambda radius, num_kpoints, dimension=3, fixed="center", lloyd=False: (
+            radius * ply
+        ).astype(np.float32)
+    )
+
+    import experiments.lcrnet.backbone4 as backbone4
+    from experiments.lcrnet.config_model import make_cfg as make_cfg_model
+    from experiments.lcrnet.data import registration_collate_fn_stack_mode
+    from experiments.lcrnet.model_family.LCRNet import create_model
+
+    _orig_rs = backbone4.radius_search
+    backbone4.radius_search = lambda *a, **k: _orig_rs(*a, **k).contiguous()
+
+    cfg = make_cfg_model()
+    cfg.vis = False
+    cfg.neighbor_limits = list(limits)
+
+    torch.manual_seed(7351)
+    model = create_model(cfg).eval()
+    load_res = model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state_dict.items()},
+        strict=False,
+    )
+    # only non-parameter buffers may be absent from the converted tree
+    unexpected = [k for k in load_res.unexpected_keys]
+    assert not unexpected, f"reverse converter emitted unknown keys: {unexpected[:8]}"
+
+    results = []
+    for pair in pairs:
+        item = {
+            "ref_points": scans[pair["pos_idx"]],
+            "src_points": scans[pair["anc_idx"]],
+            "ref_feats": np.ones((scans[pair["pos_idx"]].shape[0], 1), np.float32),
+            "src_feats": np.ones((scans[pair["anc_idx"]].shape[0], 1), np.float32),
+            "transform": pair["transform"].astype(np.float32),
+            "pos_idx": pair["pos_idx"],
+            "anc_idx": pair["anc_idx"],
+        }
+        data = registration_collate_fn_stack_mode(
+            [item], cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+            cfg.backbone.init_radius, list(limits),
+        )
+        with torch.no_grad():
+            out = model(data)
+        est = out["estimated_transform"].numpy().reshape(4, 4)
+        rre, rte = _pose_errors(est, pair["transform"])
+        desc_l2 = float(np.linalg.norm(
+            out["pos_feature_global"].numpy()[0] - out["anc_feature_global"].numpy()[0]))
+        results.append({
+            "anc_idx": int(pair["anc_idx"]), "pos_idx": int(pair["pos_idx"]),
+            "RRE": rre, "RTE": rte, "desc_L2": desc_l2,
+            "estimated_transform": est.tolist(),
+        })
+    return results
+
+
+def run_ours_pose(limits, pairs, scans, params):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.data.kitti import pad_points
+    from lcrnet_tpu.models.kernel_points import load_reference_dispositions
+    from lcrnet_tpu.models.lcrnet import LCRNet
+    from lcrnet_tpu.pipeline import build_batch_pyramid
+
+    load_reference_dispositions(DISPOSITIONS_PLY)
+    cfg = make_cfg()
+    cfg = dataclasses.replace(
+        cfg, shapes=dataclasses.replace(cfg.shapes, neighbor_limits=tuple(limits))
+    )
+    model = LCRNet(cfg)
+    cap = cfg.shapes.points[0]
+
+    @jax.jit
+    def run(params, pts, msk):
+        pyramid = build_batch_pyramid(pts, msk, cfg)
+        return model.apply(params, pyramid, jnp.eye(4), training=False)
+
+    results = []
+    for pair in pairs:
+        rp, rm = pad_points(scans[pair["pos_idx"]], cap)
+        sp, sm = pad_points(scans[pair["anc_idx"]], cap)
+        out = run(params, jnp.asarray(np.stack([rp, sp])),
+                  jnp.asarray(np.stack([rm, sm])))
+        est = np.asarray(out["estimated_transform"]).reshape(4, 4)
+        rre, rte = _pose_errors(est, pair["transform"])
+        desc_l2 = float(np.linalg.norm(
+            np.asarray(out["ref_feature_global"]) - np.asarray(out["src_feature_global"])))
+        results.append({
+            "anc_idx": int(pair["anc_idx"]), "pos_idx": int(pair["pos_idx"]),
+            "RRE": rre, "RTE": rte, "desc_L2": desc_l2,
+            "estimated_transform": est.tolist(),
+        })
+    return results
+
+
+def pose_parity(limits, snapshot, out_path):
+    """Cross-implementation pose parity with TRAINED weights: run this
+    framework's snapshot through the reverse converter into the reference's
+    own torch LCRNet, execute both full pipelines on the 3 GT demo pairs,
+    and compare pose errors + descriptor distances."""
+    import jax.numpy as jnp
+    import jax
+
+    from lcrnet_tpu.config import make_cfg
+    from lcrnet_tpu.data.kitti import load_pair_npz_mixed, load_scan_npy
+    from lcrnet_tpu.engine.checkpoint import load_snapshot
+    from lcrnet_tpu.engine.convert import convert_params_to_state_dict
+    from lcrnet_tpu.pipeline import init_params
+
+    cfg = make_cfg()
+    params = init_params(cfg)
+    params = load_snapshot(snapshot, template={"params": params})["params"]
+
+    scans = {f: load_scan_npy(osp.join(DEMO_DIR, f"{f:06d}.npy"))
+             for f in DEMO_FRAMES}
+    pairs = load_pair_npz_mixed(GT_NPZ, frames=set(DEMO_FRAMES))
+
+    print(f"[pose 1/3] JAX pair forward on {len(pairs)} GT pairs ...", flush=True)
+    ours = run_ours_pose(limits, pairs, scans, jax.tree.map(jnp.asarray, params))
+    print("[pose 2/3] reverse-converting + reference torch LCRNet ...", flush=True)
+    sd = convert_params_to_state_dict(params)
+    ref = run_reference_pose(limits, pairs, scans, sd)
+
+    print("[pose 3/3] comparing ...", flush=True)
+    rows = []
+    for r, o in zip(ref, ours):
+        assert (r["anc_idx"], r["pos_idx"]) == (o["anc_idx"], o["pos_idx"])
+        rows.append({
+            "pair": [r["anc_idx"], r["pos_idx"]],
+            "RRE_torch": round(r["RRE"], 4), "RRE_jax": round(o["RRE"], 4),
+            "RRE_abs_diff": round(abs(r["RRE"] - o["RRE"]), 4),
+            "RTE_torch_cm": round(r["RTE"] * 100, 2),
+            "RTE_jax_cm": round(o["RTE"] * 100, 2),
+            "RTE_abs_diff_cm": round(abs(r["RTE"] - o["RTE"]) * 100, 2),
+            "desc_L2_torch": round(r["desc_L2"], 5),
+            "desc_L2_jax": round(o["desc_L2"], 5),
+            "desc_L2_rel_diff": round(
+                abs(r["desc_L2"] - o["desc_L2"]) / max(r["desc_L2"], 1e-9), 4),
+        })
+    report = {"snapshot": snapshot, "limits": list(limits), "pairs": rows}
+    if osp.exists(out_path):
+        with open(out_path) as f:
+            full = json.load(f)
+    else:
+        full = {}
+    full["pose_parity"] = report
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--limits", default=None,
                     help="comma neighbor limits (default: shipped calibrated)")
     ap.add_argument("--out", default=osp.join(REPO, "FULL_PARITY.json"))
+    ap.add_argument("--snapshot", default=None,
+                    help="trained flax snapshot dir: run the POSE parity "
+                         "mode (reverse-convert into the reference torch "
+                         "model, compare RRE/RTE/descriptor per GT pair) "
+                         "instead of the random-weights feature parity")
     args = ap.parse_args()
+
+    if args.snapshot:
+        from lcrnet_tpu.config import make_cfg
+
+        limits = (
+            tuple(int(x) for x in args.limits.split(","))
+            if args.limits
+            else make_cfg().shapes.neighbor_limits
+        )
+        pose_parity(limits, args.snapshot, args.out)
+        return
 
     from lcrnet_tpu.config import make_cfg
 

@@ -6,11 +6,10 @@ Parity target: `experiments/loop_detection/preextract/pre_extract_feature.py:23-
 (N_c, 1024) encoder features to disk so its 'half'/'offline' loop-detection
 training modes can read cached features instead of running the encoder.
 
-In the TPU build the half/offline modes are realized as stop_gradient
-through the encoder inside one jitted step (PARITY.md deviation 4), so
-cached features are not needed for training.  This script exists for the
-reference's OTHER use of the dumps — offline inspection / downstream
-experiments on encoder features — and writes one npz per scan:
+These dumps feed `train_loop_detection.py --train_mode half` (the
+reference's throughput mode: encoder forward on the anchor only,
+positives/negatives read from the cache) and remain useful for offline
+inspection of encoder features.  One npz per scan:
   feats   (N_c, 1024)  stage-4 features (L2-unnormalized, like the reference)
   points  (N_c, 3)     stage-4 coarse points
   mask    (N_c,)       validity

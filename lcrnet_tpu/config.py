@@ -125,9 +125,12 @@ class CoarseMatchingConfig:
     num_targets: int = 128
     overlap_threshold: float = 0.1
     # None = dustbin mode (union of row/col argmax beating the dustbin);
-    # an int requests at least that many correspondences (threshold sweep in
-    # the reference; fixed-capacity top-k here).
+    # an int requests at least that many correspondences.
     num_correspondences: Optional[int] = None
+    # fixed-count semantics: True = the reference's threshold sweep (keep
+    # ALL entries above the swept threshold, `superpoint_matching.py:162-186`,
+    # bounded by shapes.node_corr_limit); False = exact top-k.
+    threshold_sweep: bool = True
 
 
 @dataclass(frozen=True)

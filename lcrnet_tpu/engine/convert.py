@@ -187,6 +187,126 @@ def convert_state_dict(sd: Dict[str, np.ndarray], num_layers: int = 4) -> Dict:
     return {"params": p}
 
 
+# ---------------------------------------------------------------------------
+# Reverse direction: flax param tree -> reference torch state_dict.
+#
+# Exact inverse of convert_state_dict: every key that the forward map
+# consumes is emitted (Linear kernels transposed back to (out, in), norm
+# `scale` back to `weight`, KPConv weights unchanged), so a tree trained in
+# this framework can be loaded into the reference's own torch LCRNet
+# (`model_family/LCRNet.py:25-339`, strict=False leaves only non-parameter
+# buffers to the torch init) — the cross-implementation pose-parity path.
+# ---------------------------------------------------------------------------
+
+
+def _inv_linear(sd, prefix, node):
+    sd[prefix + ".weight"] = np.asarray(node["kernel"]).T
+    if "bias" in node:
+        sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+
+def _inv_norm(sd, prefix, node):
+    sd[prefix + ".weight"] = np.asarray(node["scale"])
+    sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+
+def _inv_kpconv(sd, prefix, node):
+    sd[prefix + ".weights"] = np.asarray(node["weights"])
+    if "bias" in node:
+        sd[prefix + ".bias"] = np.asarray(node["bias"])
+
+
+def _inv_unary(sd, prefix, node):
+    _inv_linear(sd, prefix + ".mlp", node["Dense_0"])
+    _inv_norm(sd, prefix + ".norm.norm", node["MaskedGroupNorm_0"])
+
+
+def _inv_residual(sd, prefix, node):
+    _inv_unary(sd, prefix + ".unary1", node["UnaryBlock_0"])
+    _inv_kpconv(sd, prefix + ".KPConv", node["KPConv_0"])
+    _inv_norm(sd, prefix + ".norm_conv.norm", node["MaskedGroupNorm_0"])
+    _inv_unary(sd, prefix + ".unary2", node["UnaryBlock_1"])
+    if "UnaryBlock_2" in node:
+        _inv_unary(sd, prefix + ".unary_shortcut", node["UnaryBlock_2"])
+
+
+def _inv_attention_core(sd, prefix, node):
+    _inv_linear(sd, prefix + ".attention.proj_q", node["Dense_0"])
+    _inv_linear(sd, prefix + ".attention.proj_k", node["Dense_1"])
+    _inv_linear(sd, prefix + ".attention.proj_v", node["Dense_2"])
+    _inv_linear(sd, prefix + ".linear", node["Dense_3"])
+    _inv_norm(sd, prefix + ".norm", node["LayerNorm_0"])
+
+
+def _inv_attention_output(sd, prefix, node):
+    _inv_linear(sd, prefix + ".expand", node["Dense_0"])
+    _inv_linear(sd, prefix + ".squeeze", node["Dense_1"])
+    _inv_norm(sd, prefix + ".norm", node["LayerNorm_0"])
+
+
+def convert_params_to_state_dict(params: Dict, num_layers: int = 4) -> Dict[str, np.ndarray]:
+    """Convert this framework's {'params': ...} tree back into a reference
+    torch state_dict (numpy leaves; wrap with torch.from_numpy to load)."""
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+
+    enc = p["encoder"]
+    _inv_kpconv(sd, "encoder.encoder1_1.KPConv", enc["ConvBlock_0"]["KPConv_0"])
+    _inv_norm(sd, "encoder.encoder1_1.norm.norm", enc["ConvBlock_0"]["MaskedGroupNorm_0"])
+    for tname, fname, _ci, _co in _ENCODER_BLOCKS:
+        _inv_residual(sd, tname, enc[fname])
+
+    tr = p["transformer"]
+    _inv_linear(sd, "transformer.embedding.encoder", tr["LinearPosEmbedding_0"]["Dense_0"])
+    _inv_linear(sd, "transformer.embedding.encoder2", tr["LinearPosEmbedding_0"]["Dense_1"])
+    _inv_linear(sd, "transformer.in_proj", tr["Dense_0"])
+    _inv_linear(sd, "transformer.out_proj", tr["Dense_1"])
+    for layer in range(num_layers):
+        self_i, cross_i = 2 * layer, 2 * layer + 1
+        _inv_attention_core(
+            sd, f"transformer.transformer.layers.{self_i}.attention",
+            tr[f"RPEAttentionLayer_{layer}"])
+        _inv_attention_output(
+            sd, f"transformer.transformer.layers.{self_i}.output",
+            tr[f"AttentionOutput_{2 * layer}"])
+        _inv_attention_core(
+            sd, f"transformer.transformer.layers.{cross_i}.attention",
+            tr[f"CrossAttentionLayer_{layer}"])
+        _inv_attention_output(
+            sd, f"transformer.transformer.layers.{cross_i}.output",
+            tr[f"AttentionOutput_{2 * layer + 1}"])
+
+    ve = p["vote_encoder"]
+    vl = ve["VoteLayer_0"]
+    _inv_linear(sd, "vote_encoder.vote.mlp_modules.0", vl["Dense_0"])
+    _inv_norm(sd, "vote_encoder.vote.mlp_modules.1", vl["LayerNorm_0"])
+    _inv_linear(sd, "vote_encoder.vote.mlp_modules.3", vl["Dense_1"])
+    _inv_norm(sd, "vote_encoder.vote.mlp_modules.4", vl["LayerNorm_1"])
+    _inv_linear(sd, "vote_encoder.vote.ctr_reg", vl["Dense_2"])
+    for tname, fname, _ci, _co in _VOTE_BLOCKS:
+        _inv_residual(sd, tname, ve[fname])
+
+    _inv_linear(sd, "proj_node_overlap_score", p["node_score_head"])
+    _inv_unary(sd, "kpdecoder.decoder3", p["kpdecoder"]["UnaryBlock_0"])
+    _inv_unary(sd, "kpdecoder.decoder2", p["kpdecoder"]["UnaryBlock_1"])
+    _inv_linear(sd, "kpdecoder.decoder1.mlp", p["kpdecoder"]["LastUnaryBlock_0"]["Dense_0"])
+
+    if "netvlad" in p:
+        nv = p["netvlad"]
+        sd["netvlad.cluster_weights"] = np.asarray(nv["cluster_weights"])
+        sd["netvlad.cluster_weights2"] = np.asarray(nv["cluster_weights2"])
+        sd["netvlad.hidden1_weights"] = np.asarray(nv["hidden1_weights"])
+        _inv_norm(sd, "netvlad.bn1", nv["LayerNorm_0"])
+        _inv_norm(sd, "netvlad.bn2", nv["LayerNorm_1"])
+        sd["netvlad.context_gating.gating_weights"] = np.asarray(
+            nv["GatingContext_0"]["gating_weights"])
+        _inv_norm(sd, "netvlad.context_gating.bn1", nv["GatingContext_0"]["LayerNorm_0"])
+
+    sd["node_optimal_transport.alpha"] = np.asarray(p["node_ot_alpha"])
+    sd["optimal_transport.alpha"] = np.asarray(p["point_ot_alpha"])
+    return sd
+
+
 def load_torch_snapshot(path: str) -> Dict[str, np.ndarray]:
     """Load a reference `.tar` snapshot's model state_dict as numpy."""
     import torch

@@ -379,6 +379,57 @@ def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
     )
 
 
+def make_descriptor_train_step_half(cfg: LCRNetConfig, num_pos: int, num_neg: int):
+    """Cached-feature ('half') descriptor train step — the reference's
+    throughput mode (`LCRNet_GlobalDescrition.py:78-86`, half-online collate
+    `data.py:235-287`): the encoder forward runs on the ANCHOR only (no
+    gradient, like the reference's torch.no_grad); positives and negatives
+    are consumed as pre-extracted stage-4 feature dumps
+    (`experiments/preextract_features.py`).  Only NetVLAD receives
+    gradients — pair with `create_train_state(...,
+    trainable_subtrees=("netvlad",))`.
+
+    step(state, points (B, N0, 3), masks (B, N0),
+         cached_feats (B, num_pos+num_neg, C4, 1024),
+         cached_masks (B, num_pos+num_neg, C4)) -> (state, metrics)
+    """
+    from lcrnet_tpu.models.losses import triplet_loss
+
+    model = LCRNet(cfg)
+
+    def tuple_loss(params, points, masks, cached_feats, cached_masks):
+        pyramid = build_batch_pyramid(points, masks, cfg)
+        desc = model.apply(params, pyramid, cached_feats, cached_masks,
+                           method=LCRNet.describe_with_cache)
+        anc = desc[:, :1]
+        pos = desc[:, 1 : 1 + num_pos]
+        neg = desc[:, 1 + num_pos :]
+        return triplet_loss(anc, pos, neg, cfg.loss.triplet_margin)
+
+    def step(state: TrainState, points, masks, cached_feats, cached_masks):
+        loss, grads = jax.value_and_grad(tuple_loss)(
+            state.params, points, masks, cached_feats, cached_masks)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_descriptor_train_multistep_half(cfg: LCRNetConfig, num_pos: int, num_neg: int):
+    """K half-mode steps per dispatch (lax.scan), leading (K, ...) axes."""
+    base = make_descriptor_train_step_half(cfg, num_pos, num_neg)
+
+    def one_step(state, x):
+        return base(state, *x)
+
+    def multistep(state: TrainState, points, masks, cached_feats, cached_masks):
+        state, metrics = jax.lax.scan(
+            one_step, state, (points, masks, cached_feats, cached_masks))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    return jax.jit(multistep, donate_argnums=(0,))
+
+
 def make_descriptor_train_multistep(cfg: LCRNetConfig, num_pos: int, num_neg: int,
                                     frozen: bool = False):
     """K descriptor train steps per dispatch (lax.scan) — the relay-latency

@@ -114,6 +114,42 @@ class LCRNet(nn.Module):
         return l2_normalize(desc, axis=-1)
 
     # ------------------------------------------------------------------
+    def describe_with_cache(
+        self,
+        pyramid: Pyramid,
+        cached_feats: jnp.ndarray,
+        cached_masks: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Half-mode retrieval training path (reference
+        `LCRNet_GlobalDescrition.py:78-86` + `data.py:235-287` half-online
+        collate): the encoder runs — without gradients, as the reference's
+        `torch.no_grad()` — on the ANCHOR clouds only, while positives and
+        negatives arrive as pre-extracted stage-4 features
+        (`experiments/preextract_features.py` dumps).  This is the
+        throughput mode: per tuple, one encoder forward instead of
+        1+num_pos+num_neg.
+
+        Args:
+          pyramid: anchor pyramid, B clouds.
+          cached_feats: (B, G', C4, 1024) pos/neg stage-4 features
+            (unnormalized, as dumped).
+          cached_masks: (B, G', C4).
+        Returns:
+          (B, 1+G', 256) descriptors, anchor first within each tuple.
+        """
+        feats = pyramid.masks[0][..., None].astype(jnp.float32)
+        feats_list = self.encoder(feats, pyramid, norm_clouds=1)
+        anc_out = jax.lax.stop_gradient(feats_list[3])        # (B, C4, 1024)
+        all_feats = jnp.concatenate([anc_out[:, None], cached_feats], axis=1)
+        all_masks = jnp.concatenate(
+            [pyramid.masks[3][:, None], cached_masks], axis=1)
+        flat_f = all_feats.reshape((-1,) + all_feats.shape[2:])
+        flat_m = all_masks.reshape((-1,) + all_masks.shape[2:])
+        desc = self.netvlad(l2_normalize(flat_f, axis=-1), flat_m)
+        desc = l2_normalize(desc, axis=-1)
+        return desc.reshape(all_feats.shape[0], all_feats.shape[1], -1)
+
+    # ------------------------------------------------------------------
     def __call__(
         self,
         pyramid: Pyramid,
@@ -251,6 +287,7 @@ class LCRNet(nn.Module):
                     s_mat, ro, so,
                     capacity=c.shapes.node_corr_limit,
                     num_correspondences=c.coarse_matching.num_correspondences,
+                    threshold_sweep=c.coarse_matching.threshold_sweep,
                 )
             )(node_matching_scores, r_occ, s_occ)
             node_corr_ref, node_corr_src = ncr.ref_indices, ncr.src_indices

@@ -46,6 +46,7 @@ def coarse_matching_ot(
     num_correspondences: Optional[int] = None,
     ref_node_scores: Optional[jnp.ndarray] = None,
     src_node_scores: Optional[jnp.ndarray] = None,
+    threshold_sweep: bool = True,
 ) -> NodeCorrResult:
     """Extract node correspondences from an OT log-score matrix.
 
@@ -53,10 +54,15 @@ def coarse_matching_ot(
       matching_scores: (M+1, N+1) log OT scores (dustbin at index -1).
       ref_masks/src_masks: (M,)/(N,) node validity.
       capacity: static output size (use >= M+N to cover dustbin mode exactly).
-      num_correspondences: None = dustbin mode; int = take the top-k scores
-        (the reference sweeps a threshold until >= k correspondences and
-        keeps all above it; top-k keeps exactly k — the accepted set is a
-        prefix of the reference's under the same ordering).
+      num_correspondences: None = dustbin mode; int = fixed-count mode.
+      threshold_sweep: fixed-count semantics.  True (default) replicates the
+        reference exactly (`superpoint_matching.py:162-186`): sweep a
+        threshold 0.5, 0.49, ... downward until >= k entries exceed it, then
+        keep ALL above-threshold entries (possibly more than k, bounded here
+        by `capacity`).  The sweep has a closed form: with v_k the k-th
+        largest valid score, the stopping threshold is the largest grid
+        value strictly below v_k.  False = plain top-k (keeps exactly k —
+        a prefix of the reference's set under the same ordering).
       ref_node_scores/src_node_scores: optional per-node overlap scores that
         multiply the matching scores in fixed-count mode
         (`superpoint_matching.py:166-172`).
@@ -88,7 +94,28 @@ def coarse_matching_ot(
             inner = inner * ref_node_scores[:, None] * src_node_scores[None, :]
         corr_mat = valid_mat
         sel_scores = jnp.where(corr_mat, inner, 0.0)
-        capacity = num_correspondences
+        if threshold_sweep:
+            # closed-form sweep (`superpoint_matching.py:173-183`): the loop
+            # stops at the first threshold t in {0.5 - 0.01 j} with
+            # count(score > t) >= k, i.e. the first t strictly below the
+            # k-th largest score v_k; kept set = ALL entries > t.  The
+            # reference clamps k to the matrix size when the cloud is
+            # smaller; with masked static shapes the analogue is the
+            # smallest VALID value among the top-k (= c-th largest when only
+            # c < k entries are valid).
+            k_eff = min(num_correspondences, m, n)
+            kv, _, kok = masked_top_k(
+                sel_scores.reshape(-1), corr_mat.reshape(-1), k_eff)
+            v_k = jnp.min(jnp.where(kok, kv, jnp.inf))
+            j_star = jnp.maximum(0.0, jnp.floor((0.5 - v_k) / 0.01) + 1.0)
+            thres = 0.5 - 0.01 * j_star
+            corr_mat = jnp.logical_and(corr_mat, sel_scores > thres)
+            sel_scores = jnp.where(corr_mat, sel_scores, 0.0)
+            # capacity stays the configured node budget: the above-threshold
+            # set is data-dependent (>= k); top-capacity keeps all of it
+            # whenever its size <= capacity
+        else:
+            capacity = num_correspondences
 
     vals, flat_idx, valid = masked_top_k(sel_scores.reshape(-1), corr_mat.reshape(-1), capacity)
     ref_idx = (flat_idx // n).astype(jnp.int32)

@@ -170,6 +170,35 @@ def test_converted_params_run_forward(rng):
     assert np.isfinite(np.asarray(out["node_matching_scores"])).any()
 
 
+def test_reverse_convert_roundtrip(rng):
+    """flax -> torch -> flax is the identity, and torch -> flax -> torch
+    reproduces every key the forward map consumes (the reverse converter is
+    the cross-implementation pose-parity path: a tree trained here must load
+    into the reference's own torch LCRNet)."""
+    from lcrnet_tpu.engine.convert import convert_params_to_state_dict
+
+    sd = synth_reference_state_dict(rng)
+    converted = convert_state_dict(sd)
+
+    # torch -> flax -> torch: identical key set, identical values
+    sd_back = convert_params_to_state_dict(converted)
+    assert set(sd_back) == set(sd), (
+        sorted(set(sd) ^ set(sd_back))[:8])
+    for k in sd:
+        np.testing.assert_array_equal(
+            np.asarray(sd_back[k]), np.asarray(sd[k]), err_msg=k)
+
+    # flax -> torch -> flax: identical tree
+    roundtrip = convert_state_dict(sd_back)
+    a = {jax.tree_util.keystr(p): leaf
+         for p, leaf in jax.tree_util.tree_leaves_with_path(converted)}
+    b = {jax.tree_util.keystr(p): leaf
+         for p, leaf in jax.tree_util.tree_leaves_with_path(roundtrip)}
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
 REFERENCE_PLY = "/root/reference/experiments/lcrnet/modules/kpconv/dispositions/k_015_center_3D.ply"
 
 

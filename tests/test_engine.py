@@ -128,6 +128,66 @@ def test_frozen_descriptor_step_freezes_encoder(rng):
 
 
 @pytest.mark.slow
+def test_half_mode_matches_frozen_mode(rng):
+    """Cached-feature half mode (reference `LCRNet_GlobalDescrition.py:78-86`)
+    is optimization-identical to the frozen mode when the cache holds the
+    same encoder's stage-4 features: same triplet loss, same NetVLAD update."""
+    from lcrnet_tpu.engine.train import make_descriptor_train_step_half
+    from lcrnet_tpu.models.lcrnet import LCRNet
+    from lcrnet_tpu.pipeline import build_batch_pyramid
+
+    cfg = make_test_cfg()
+    params = init_params(cfg)
+    n0 = cfg.shapes.points[0]
+    group = 3  # anc + 1 pos + 1 neg
+    pts = np.full((1, group, n0, 3), 1.0e6, np.float32)
+    msks = np.zeros((1, group, n0), bool)
+    for g in range(group):
+        ref, _, _ = make_pair(rng, n=300)
+        pts[0, g, :300] = ref
+        msks[0, g, :300] = True
+    pts_j, msks_j = jnp.asarray(pts), jnp.asarray(msks)
+
+    # pre-extract stage-4 features for the pos/neg members (what
+    # preextract_features.py dumps), with per-cloud norm statistics
+    model = LCRNet(cfg)
+
+    @jax.jit
+    def encode(params, points, masks):
+        pyr = build_batch_pyramid(points, masks, cfg)
+        feats = pyr.masks[0][..., None].astype(jnp.float32)
+        feats_list = model.apply(
+            params, feats, pyr, 1,
+            method=lambda m, f, p, n: m.encoder(f, p, norm_clouds=n))
+        return feats_list[3], pyr.masks[3]
+
+    cached_f, cached_m = encode(params, pts_j[0, 1:], msks_j[0, 1:])
+
+    state_f = create_train_state(
+        cfg, jax.tree.map(jnp.copy, params), 10, trainable_subtrees=("netvlad",))
+    state_h = create_train_state(
+        cfg, jax.tree.map(jnp.copy, params), 10, trainable_subtrees=("netvlad",))
+
+    frozen_step = make_descriptor_train_step(cfg, num_pos=1, num_neg=1, frozen=True)
+    half_step = make_descriptor_train_step_half(cfg, num_pos=1, num_neg=1)
+
+    state_f, m_f = frozen_step(state_f, pts_j, msks_j)
+    state_h, m_h = half_step(
+        state_h, pts_j[:, 0], msks_j[:, 0], cached_f[None], cached_m[None])
+
+    np.testing.assert_allclose(float(m_h["loss"]), float(m_f["loss"]), rtol=1e-5)
+    nv_f = jax.tree.leaves(state_f.params["params"]["netvlad"])
+    nv_h = jax.tree.leaves(state_h.params["params"]["netvlad"])
+    for a, b in zip(nv_f, nv_h):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    # and the encoder stayed bit-frozen in half mode
+    for name in ("encoder", "transformer", "vote_encoder", "kpdecoder"):
+        ol = jax.tree.leaves(params["params"][name])
+        nl = jax.tree.leaves(state_h.params["params"][name])
+        assert all(np.array_equal(a, b) for a, b in zip(ol, nl)), f"{name} drifted"
+
+
+@pytest.mark.slow
 def test_sharded_step_collective_inventory(rng):
     """The dp x mp-sharded step must not all-gather whole point-axis
     activations: XLA should compute on local point shards and psum partial
