@@ -76,6 +76,19 @@ def _match_sets(a: np.ndarray, b: np.ndarray, tol: float):
     return idx, dd
 
 
+def _contig_tree(torch, obj):
+    """The reference's `index_select` calls `.view(-1)` on collated neighbor
+    tables, which are non-contiguous slices — make every tensor contiguous
+    (the reference's own DataLoader does this implicitly via worker IPC)."""
+    if isinstance(obj, torch.Tensor):
+        return obj.contiguous()
+    if isinstance(obj, list):
+        return [_contig_tree(torch, x) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _contig_tree(torch, v) for k, v in obj.items()}
+    return obj
+
+
 def run_reference(limits, scans):
     """Reference collate + full LCRNet forward; returns per-cloud stage
     points, stage-4 features, and global descriptors."""
@@ -129,16 +142,7 @@ def run_reference(limits, scans):
         cfg.backbone.init_radius, list(limits),
     )
 
-    def _contig(obj):
-        if isinstance(obj, torch.Tensor):
-            return obj.contiguous()
-        if isinstance(obj, list):
-            return [_contig(x) for x in obj]
-        if isinstance(obj, dict):
-            return {k: _contig(v) for k, v in obj.items()}
-        return obj
-
-    data = _contig(data)
+    data = _contig_tree(torch, data)
 
     # capture the encoder stage-4 features as they enter the global head
     captured = []
@@ -255,15 +259,18 @@ def run_reference_pose(limits, pairs, scans, state_dict):
     torch.set_num_threads(max(1, os.cpu_count()))
     build_ext()
 
-    from lcrnet_tpu.models.kernel_points import parse_ply_xyz
+    # the torch model must use the SAME kernel dispositions the snapshot was
+    # trained under — this framework's seeded repulsion defaults (the PLY
+    # override is only for running reference-trained checkpoints; a
+    # disposition mismatch silently degrades features and flips marginal
+    # pairs — found the hard way, NOTES.md round 4)
+    from lcrnet_tpu.models.kernel_points import load_kernel_points
 
-    ply = parse_ply_xyz(DISPOSITIONS_PLY)
     import experiments.lcrnet.modules.kpconv.kpconv as ref_kpconv
 
     ref_kpconv.load_kernels = (
-        lambda radius, num_kpoints, dimension=3, fixed="center", lloyd=False: (
-            radius * ply
-        ).astype(np.float32)
+        lambda radius, num_kpoints, dimension=3, fixed="center", lloyd=False:
+            load_kernel_points(radius, num_kpoints).astype(np.float32)
     )
 
     import experiments.lcrnet.backbone4 as backbone4
@@ -303,6 +310,7 @@ def run_reference_pose(limits, pairs, scans, state_dict):
             [item], cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
             cfg.backbone.init_radius, list(limits),
         )
+        data = _contig_tree(torch, data)
         with torch.no_grad():
             out = model(data)
         est = out["estimated_transform"].numpy().reshape(4, 4)
@@ -325,11 +333,10 @@ def run_ours_pose(limits, pairs, scans, params):
 
     from lcrnet_tpu.config import make_cfg
     from lcrnet_tpu.data.kitti import pad_points
-    from lcrnet_tpu.models.kernel_points import load_reference_dispositions
     from lcrnet_tpu.models.lcrnet import LCRNet
     from lcrnet_tpu.pipeline import build_batch_pyramid
 
-    load_reference_dispositions(DISPOSITIONS_PLY)
+    # NO disposition override: the snapshot trained under the seeded defaults
     cfg = make_cfg()
     cfg = dataclasses.replace(
         cfg, shapes=dataclasses.replace(cfg.shapes, neighbor_limits=tuple(limits))
@@ -392,8 +399,15 @@ def pose_parity(limits, snapshot, out_path):
     rows = []
     for r, o in zip(ref, ours):
         assert (r["anc_idx"], r["pos_idx"]) == (o["anc_idx"], o["pos_idx"])
+        # est-vs-est: the direct cross-implementation pose delta, robust to
+        # GT-row quality (both estimates compared to each other)
+        e_r = np.asarray(r["estimated_transform"])
+        e_o = np.asarray(o["estimated_transform"])
+        rre_rel, rte_rel = _pose_errors(e_r, e_o)
         rows.append({
             "pair": [r["anc_idx"], r["pos_idx"]],
+            "RRE_est_vs_est": round(rre_rel, 4),
+            "RTE_est_vs_est_cm": round(rte_rel * 100, 2),
             "RRE_torch": round(r["RRE"], 4), "RRE_jax": round(o["RRE"], 4),
             "RRE_abs_diff": round(abs(r["RRE"] - o["RRE"]), 4),
             "RTE_torch_cm": round(r["RTE"] * 100, 2),
