@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--lr", type=float, default=None,
                     help="override optimizer lr (e.g. 1e-3 for the "
                          "NetVLAD-only frozen/half modes)")
+    ap.add_argument("--save_every", type=int, default=1,
+                    help="epochs between snapshots (the final epoch always "
+                         "saves)")
     ap.add_argument("--init_snapshot", default=None, help="stage-1 registration snapshot")
     ap.add_argument("--chunk", type=int, default=1,
                     help="train steps per device dispatch (lax.scan; "
@@ -93,8 +96,6 @@ def main():
         trainable_subtrees=("netvlad",) if (frozen or half) else None,
     )
     if half:
-        from functools import lru_cache
-
         from lcrnet_tpu.engine.train import (
             make_descriptor_train_multistep_half, make_descriptor_train_step_half,
         )
@@ -105,10 +106,24 @@ def main():
                 cfg, args.num_pos, args.num_neg)
         seq_tag = f"{seq:02d}" if isinstance(seq, int) else str(seq)
 
-        @lru_cache(maxsize=1024)
-        def cached_features(idx):
-            d = np.load(osp.join(args.feature_dir, f"{seq_tag}_{idx:06d}.npz"))
-            return d["feats"], d["mask"]
+        # load every referenced dump ONCE into a device-resident cache;
+        # steps address it by row index (no per-step feature transfer)
+        referenced = sorted({
+            int(i)
+            for anc, poss, negs in tuples
+            for i in ([anc] + list(np.atleast_1d(poss)) + list(np.atleast_1d(negs)))
+        })
+        cache_row = {f: r for r, f in enumerate(referenced)}
+        first = np.load(osp.join(args.feature_dir, f"{seq_tag}_{referenced[0]:06d}.npz"))
+        cache_f = np.zeros((len(referenced),) + first["feats"].shape, np.float32)
+        cache_m = np.zeros((len(referenced),) + first["mask"].shape, bool)
+        for f, r in cache_row.items():
+            d = np.load(osp.join(args.feature_dir, f"{seq_tag}_{f:06d}.npz"))
+            cache_f[r], cache_m[r] = d["feats"], d["mask"]
+        cache_f = jnp.asarray(cache_f)
+        cache_m = jnp.asarray(cache_m)
+        logger.info(f"feature cache: {len(referenced)} frames, "
+                    f"{cache_f.nbytes / 1e9:.2f} GB device-resident")
     else:
         step = make_descriptor_train_step(cfg, args.num_pos, args.num_neg, frozen=frozen)
         if args.chunk > 1:
@@ -139,20 +154,15 @@ def main():
         return pts, msk
 
     def make_batch_half(order, start):
-        cap4 = cfg.shapes.points[3]
-        feat_dim = cfg.backbone.init_dim * 16
         pts = np.zeros((args.batch_size, cap, 3), np.float32)
         msk = np.zeros((args.batch_size, cap), bool)
-        cf = np.zeros((args.batch_size, group - 1, cap4, feat_dim), np.float32)
-        cm = np.zeros((args.batch_size, group - 1, cap4), bool)
+        rows = np.zeros((args.batch_size, group - 1), np.int32)
         for b in range(args.batch_size):
             idxs = tuple_indices(order, start, b)
             p, m = pad_points(source(idxs[0]), cap)
             pts[b], msk[b] = p, m
-            for g, i in enumerate(idxs[1:]):
-                f, fm = cached_features(int(i))
-                cf[b, g], cm[b, g] = f, fm
-        return pts, msk, cf, cm
+            rows[b] = [cache_row[int(i)] for i in idxs[1:]]
+        return pts, msk, rows
 
     build = make_batch_half if half else make_batch
 
@@ -167,14 +177,26 @@ def main():
                 chunk = [build(order, starts[i + k]) for k in range(args.chunk)]
                 i += args.chunk
                 arrays = [jnp.asarray(np.stack(part)) for part in zip(*chunk)]
-                state, metrics = multistep(state, *arrays)
+                if half:
+                    pts_k, msk_k, idx_k = arrays
+                    state, metrics = multistep(
+                        state, pts_k, msk_k, cache_f, cache_m, idx_k)
+                else:
+                    state, metrics = multistep(state, *arrays)
             else:
                 arrays = [jnp.asarray(a) for a in build(order, starts[i])]
                 i += 1
-                state, metrics = step(state, *arrays)
+                if half:
+                    pts_1, msk_1, idx_1 = arrays
+                    state, metrics = step(
+                        state, pts_1, msk_1, cache_f, cache_m, idx_1)
+                else:
+                    state, metrics = step(state, *arrays)
             board.update_from_dict({k: float(v) for k, v in metrics.items()})
         logger.info(f"epoch {epoch + 1}/{args.max_epoch}: {board.format()}")
-        save_snapshot(osp.join(args.output, "snapshots"), epoch + 1, state.params, state.opt_state)
+        if (epoch + 1) % args.save_every == 0 or epoch + 1 == args.max_epoch:
+            save_snapshot(osp.join(args.output, "snapshots"), epoch + 1,
+                          state.params, state.opt_state)
 
 
 if __name__ == "__main__":

@@ -379,26 +379,19 @@ def make_descriptor_train_step(cfg: LCRNetConfig, num_pos: int, num_neg: int,
     )
 
 
-def make_descriptor_train_step_half(cfg: LCRNetConfig, num_pos: int, num_neg: int):
-    """Cached-feature ('half') descriptor train step — the reference's
-    throughput mode (`LCRNet_GlobalDescrition.py:78-86`, half-online collate
-    `data.py:235-287`): the encoder forward runs on the ANCHOR only (no
-    gradient, like the reference's torch.no_grad); positives and negatives
-    are consumed as pre-extracted stage-4 feature dumps
-    (`experiments/preextract_features.py`).  Only NetVLAD receives
-    gradients — pair with `create_train_state(...,
-    trainable_subtrees=("netvlad",))`.
-
-    step(state, points (B, N0, 3), masks (B, N0),
-         cached_feats (B, num_pos+num_neg, C4, 1024),
-         cached_masks (B, num_pos+num_neg, C4)) -> (state, metrics)
-    """
+def _half_tuple_loss_fn(cfg: LCRNetConfig, num_pos: int, num_neg: int):
     from lcrnet_tpu.models.losses import triplet_loss
 
     model = LCRNet(cfg)
 
-    def tuple_loss(params, points, masks, cached_feats, cached_masks):
+    def tuple_loss(params, points, masks, cache_feats, cache_masks, idx):
         pyramid = build_batch_pyramid(points, masks, cfg)
+        # device-resident cache gather: (B, G') indices -> (B, G', C4, D).
+        # The whole sequence's dumps live in HBM once (478 KITTI-scale
+        # frames ~= 1.9 GB); per-step traffic is an on-device gather
+        # instead of a 16 MB host->device transfer per tuple.
+        cached_feats = cache_feats[idx]
+        cached_masks = cache_masks[idx]
         desc = model.apply(params, pyramid, cached_feats, cached_masks,
                            method=LCRNet.describe_with_cache)
         anc = desc[:, :1]
@@ -406,9 +399,29 @@ def make_descriptor_train_step_half(cfg: LCRNetConfig, num_pos: int, num_neg: in
         neg = desc[:, 1 + num_pos :]
         return triplet_loss(anc, pos, neg, cfg.loss.triplet_margin)
 
-    def step(state: TrainState, points, masks, cached_feats, cached_masks):
+    return tuple_loss
+
+
+def make_descriptor_train_step_half(cfg: LCRNetConfig, num_pos: int, num_neg: int):
+    """Cached-feature ('half') descriptor train step — the reference's
+    throughput mode (`LCRNet_GlobalDescrition.py:78-86`, half-online collate
+    `data.py:235-287`): the encoder forward runs on the ANCHOR only (no
+    gradient, like the reference's torch.no_grad); positives and negatives
+    are consumed as pre-extracted stage-4 feature dumps
+    (`experiments/preextract_features.py`) held device-resident.  Only
+    NetVLAD receives gradients — pair with `create_train_state(...,
+    trainable_subtrees=("netvlad",))`.
+
+    step(state, points (B, N0, 3), masks (B, N0),
+         cache_feats (F, C4, 1024), cache_masks (F, C4),
+         idx (B, num_pos+num_neg) int32 rows into the cache)
+      -> (state, metrics)
+    """
+    tuple_loss = _half_tuple_loss_fn(cfg, num_pos, num_neg)
+
+    def step(state: TrainState, points, masks, cache_feats, cache_masks, idx):
         loss, grads = jax.value_and_grad(tuple_loss)(
-            state.params, points, masks, cached_feats, cached_masks)
+            state.params, points, masks, cache_feats, cache_masks, idx)
         state = state.apply_gradients(grads=grads)
         return state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
@@ -416,15 +429,22 @@ def make_descriptor_train_step_half(cfg: LCRNetConfig, num_pos: int, num_neg: in
 
 
 def make_descriptor_train_multistep_half(cfg: LCRNetConfig, num_pos: int, num_neg: int):
-    """K half-mode steps per dispatch (lax.scan), leading (K, ...) axes."""
-    base = make_descriptor_train_step_half(cfg, num_pos, num_neg)
+    """K half-mode steps per dispatch (lax.scan): points/masks/idx carry a
+    leading (K, ...) axis; the feature cache is passed ONCE (not scanned)."""
+    tuple_loss = _half_tuple_loss_fn(cfg, num_pos, num_neg)
 
-    def one_step(state, x):
-        return base(state, *x)
+    def one_step(carry, x):
+        state, cache_feats, cache_masks = carry
+        points, masks, idx = x
+        loss, grads = jax.value_and_grad(tuple_loss)(
+            state.params, points, masks, cache_feats, cache_masks, idx)
+        state = state.apply_gradients(grads=grads)
+        return (state, cache_feats, cache_masks), {
+            "loss": loss, "grad_norm": optax.global_norm(grads)}
 
-    def multistep(state: TrainState, points, masks, cached_feats, cached_masks):
-        state, metrics = jax.lax.scan(
-            one_step, state, (points, masks, cached_feats, cached_masks))
+    def multistep(state: TrainState, points, masks, cache_feats, cache_masks, idx):
+        (state, _, _), metrics = jax.lax.scan(
+            one_step, (state, cache_feats, cache_masks), (points, masks, idx))
         return state, jax.tree.map(jnp.mean, metrics)
 
     return jax.jit(multistep, donate_argnums=(0,))

@@ -172,8 +172,10 @@ def test_half_mode_matches_frozen_mode(rng):
     half_step = make_descriptor_train_step_half(cfg, num_pos=1, num_neg=1)
 
     state_f, m_f = frozen_step(state_f, pts_j, msks_j)
+    # device-resident cache rows [pos, neg]; the tuple indexes them 0, 1
+    idx = jnp.asarray(np.array([[0, 1]], np.int32))
     state_h, m_h = half_step(
-        state_h, pts_j[:, 0], msks_j[:, 0], cached_f[None], cached_m[None])
+        state_h, pts_j[:, 0], msks_j[:, 0], cached_f, cached_m, idx)
 
     np.testing.assert_allclose(float(m_h["loss"]), float(m_f["loss"]), rtol=1e-5)
     nv_f = jax.tree.leaves(state_f.params["params"]["netvlad"])
