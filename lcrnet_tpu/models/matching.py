@@ -207,11 +207,26 @@ def fine_matching_lgr(
     mask_mat = jnp.logical_and(ref_knn_masks[:, :, None], src_knn_masks[:, None, :])
     inner_masked = jnp.where(mask_mat, inner, 0.0)
 
+    def _topk_last(x, kk):
+        # k == 1 (the shipped config, `config_model.py:85`) needs no sort:
+        # max + argmax match lax.top_k exactly (both take the first of tied
+        # maxima).  lax.top_k here lowered to a FULL last-dim sort, and with
+        # a pair batch dim XLA's chosen sort variant measured ~306 ms per
+        # call at (2, 1024, 128, 128) — 70% of the whole multi-pair forward
+        # (1.6 ms for the identical shape without the extra dim; the
+        # max/argmax formulation is flat in batch).
+        if kk == 1:
+            return (
+                jnp.max(x, axis=-1, keepdims=True),
+                jnp.argmax(x, axis=-1, keepdims=True).astype(jnp.int32),
+            )
+        return lax.top_k(x, kk)
+
     # row-side candidates: (p, i) -> topk j's beating the row dustbin
-    row_val, row_best = lax.top_k(inner_masked, topk)            # (P, K, k)
+    row_val, row_best = _topk_last(inner_masked, topk)           # (P, K, k)
     row_ok = row_val > row_dust[:, :, None]
     # col-side candidates: (p, j) -> topk i's beating the col dustbin
-    col_val, col_best = lax.top_k(jnp.swapaxes(inner_masked, 1, 2), topk)  # (P, K, k)
+    col_val, col_best = _topk_last(jnp.swapaxes(inner_masked, 1, 2), topk)  # (P, K, k)
     col_ok = col_val > col_dust[:, :, None]
 
     if mutual:

@@ -64,6 +64,7 @@ def log_optimal_transport(
     col_masks: jnp.ndarray,
     num_iterations: int,
     fused: bool = False,
+    batch_valid=None,
 ) -> jnp.ndarray:
     """Masked Sinkhorn in log space.
 
@@ -74,6 +75,13 @@ def log_optimal_transport(
       num_iterations: static iteration count.
       fused: use the VMEM-resident Pallas kernel (inference-only: the fused
         path is not differentiable; the scan path is).
+      batch_valid: optional (B,) bool batch-entry validity.  On the fused
+        path, whole 8-entry patch blocks with no valid batch skip their
+        device compute and return -inf (the static capacity is worst-case
+        sized; the runtime valid count usually is not); invalid entries
+        sharing a block with valid ones compute normally.  Consumers must
+        mask by the same flags, which every call site already does.  The
+        scan path ignores it (identical math for all batches).
 
     Returns:
       (B, M+1, N+1) log assignment scores.
@@ -85,7 +93,8 @@ def log_optimal_transport(
         from lcrnet_tpu.ops.sinkhorn_pallas import sinkhorn_padded_pallas
 
         out = sinkhorn_padded_pallas(
-            padded, log_mu, log_nu, num_iterations, interpret=(backend != "tpu")
+            padded, log_mu, log_nu, num_iterations, interpret=(backend != "tpu"),
+            batch_valid=batch_valid,
         )
         return out - norm[:, None, None]
 
