@@ -114,6 +114,23 @@ def main():
     cfg = make_cfg()
     params = init_params(cfg)
 
+    # trained weights when a snapshot is present: the fused Sinkhorn skips
+    # invalid correspondence blocks (data-dependent — the demo pair holds
+    # 245/1024 valid with trained weights vs 647 with random init), so the
+    # random-init timing understates production throughput.  The weight
+    # provenance is recorded in the output line either way.
+    weights_src = "random-init"
+    for snap in ("output/accuracy_r05b/snapshots", "output/accuracy_r05a/snapshots"):
+        if os.path.isdir(snap):
+            try:
+                from lcrnet_tpu.engine.checkpoint import load_snapshot
+
+                params = load_snapshot(snap, template={"params": params})["params"]
+                weights_src = snap
+                break
+            except Exception:
+                pass
+
     if os.path.isdir(DEMO_DIR):
         ref = load_scan_npy(os.path.join(DEMO_DIR, "003854.npy"))
         src = load_scan_npy(os.path.join(DEMO_DIR, "000958.npy"))
@@ -187,7 +204,11 @@ def main():
             dt_b, stalls_b = timed_median(
                 lambda: fwd_b(params, pts_b, msk_b), n_it=max(2, 8 // b))
         except Exception as e:  # HBM OOM ends the sweep, smaller Bs stand
-            batch_rows.append({"pairs": b, "error": type(e).__name__})
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower() or "HBM" in msg:
+                batch_rows.append({"pairs": b, "skipped": "capacity"})
+            else:
+                batch_rows.append({"pairs": b, "error": type(e).__name__})
             break
         rate = b / dt_b
         batch_rows.append({
@@ -241,6 +262,7 @@ def main():
         "train_step_ms": round(train_dt * 1e3, 1),
         "train_steps_per_sec": round(1.0 / train_dt, 2),
         "neighbor_limits": list(cfg.shapes.neighbor_limits),
+        "weights": weights_src,
     }
     if flops_fwd:
         result["forward_gflops"] = round(flops_fwd / 1e9, 1)

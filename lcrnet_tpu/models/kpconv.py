@@ -67,13 +67,20 @@ def kpconv_influence(
 ) -> jnp.ndarray:
     """Kernel-influence tensor clamp(1 - d/sigma, 0) for a neighbor table.
 
-    (B, M, H) table -> (B, M, H, K) f32.  Two conv blocks that share the
+    (B, M, H) table -> (B, M, K, H) f32.  Two conv blocks that share the
     same (queries, supports, table, radius, sigma) recompute this tensor —
     including the scattered coordinate gather — identically; hoisting it
     once per table and passing it via `KPConv.__call__(influence=...)`
     trades ~0.5 GB/pair of sequential HBM traffic for the repeated gather
     passes (measured win at KITTI scale).  Bit-identical math to the
-    in-conv computation."""
+    in-conv computation.
+
+    Layout note: the trailing two dims are (K, H), NOT (H, K).  The VPU
+    pads the lane (last) dim to 128: with K = 15 kernel points in lanes the
+    elementwise influence math (sqrt/clamp/max) padded 15 -> 128 (8.5x
+    wasted lanes); with H = 64-96 neighbors in lanes it pads ~1.3-1.9x, and
+    the conv's (K, H) x (H, C) contraction consumes this layout directly
+    (the old layout swapaxed right before the matmul anyway)."""
     b, m, h = neighbor_indices.shape
     n = s_points.shape[1]
     k = kp.shape[0]
@@ -94,18 +101,20 @@ def kpconv_influence(
         nb_pts = sp[ci.reshape(-1)].reshape(block, h, 3)
         rel = nb_pts - bqp[:, None, :]
         rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
-        cross = lax.dot_general(
-            rel, kp,
-            dimension_numbers=(((2,), (1,)), ((), ())),
+        # (K, 3) x (block, H, 3) -> (block, K, H): H rides the lanes
+        cross = jnp.einsum(
+            "kd,bhd->bkh", kp, rel,
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )
-        rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
-        d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
-        return jnp.maximum(1.0 - jnp.sqrt(d2) / sigma, 0.0)
+        rel_sq = jnp.sum(rel * rel, axis=-1)                   # (block, H)
+        d2 = jnp.maximum(
+            rel_sq[:, None, :] - 2.0 * cross + kp_sq[None, :, None], 1e-12
+        )
+        return jnp.maximum(1.0 - jnp.sqrt(d2) / sigma, 0.0)    # (block, K, H)
 
     infl = lax.map(one_block, (qp, idx, msk, cloud_of_block))
-    return infl.reshape(b, nb * block, h, k)[:, :m]
+    return infl.reshape(b, nb * block, k, h)[:, :m]
 
 
 class KPConv(nn.Module):
@@ -135,7 +144,7 @@ class KPConv(nn.Module):
           q_points: (B, M, 3); s_points: (B, N, 3).
           neighbor_indices: (B, M, H) per-cloud support indices.
           neighbor_masks: (B, M, H) validity.
-          influence: optional precomputed (B, M, H, K) kernel-influence
+          influence: optional precomputed (B, M, K, H) kernel-influence
             tensor from `kpconv_influence` for THIS table/radius/sigma —
             skips the per-conv coordinate gather + influence math (share
             across conv blocks on the same table).
@@ -185,7 +194,7 @@ class KPConv(nn.Module):
         if influence is not None:
             pre_infl = jnp.pad(
                 influence, ((0, 0), (0, pad), (0, 0), (0, 0))
-            ).reshape(b * nb, block, h, k)
+            ).reshape(b * nb, block, k, h)
 
         # ONE fused gather source per block: conv features | shortcut-maxpool
         # features | support coordinates share the same row addresses, and TPU
@@ -228,30 +237,32 @@ class KPConv(nn.Module):
             if infl is None:
                 rel = nb_pts - bqp[:, None, :]
                 rel = jnp.where(bmsk[..., None], rel, _PAD_OFFSET)
-                # d^2 to kernel points via expansion -> (block, H, K)
-                cross = lax.dot_general(
-                    rel, kp,
-                    dimension_numbers=(((2,), (1,)), ((), ())),
+                # d^2 to kernel points via expansion -> (block, K, H): H in
+                # the lane dim (K = 15 in lanes padded 8.5x on the VPU)
+                cross = jnp.einsum(
+                    "kd,bhd->bkh", kp, rel,
                     preferred_element_type=jnp.float32,
                     precision=lax.Precision.HIGHEST,  # coordinate math: no bf16
                 )
-                rel_sq = jnp.sum(rel * rel, axis=-1, keepdims=True)
+                rel_sq = jnp.sum(rel * rel, axis=-1)           # (block, H)
                 # clamp at a small positive value: a self-neighbor sits exactly
                 # on the center kernel point and sqrt(0) has an infinite
                 # gradient (the reference dodges this only via its random
                 # kernel-point noise, `kernel_points.py:449`)
-                d2 = jnp.maximum(rel_sq - 2.0 * cross + kp_sq[None, None, :], 1e-12)
-                infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,H,K)
+                d2 = jnp.maximum(
+                    rel_sq[:, None, :] - 2.0 * cross + kp_sq[None, :, None], 1e-12
+                )
+                infl = jnp.maximum(1.0 - jnp.sqrt(d2) / self.sigma, 0.0)  # (block,K,H)
 
             if self.ones_features:
                 # neighbor features == neighbor mask; infl is already zero at
                 # masked neighbors, so the contraction is a plain reduction
-                weighted = jnp.sum(infl, axis=1)[..., None]  # (block, K, 1)
+                weighted = jnp.sum(infl, axis=2)[..., None]  # (block, K, 1)
             else:
                 nb_feats = jnp.where(bmsk[..., None], nb_feats, 0.0)
                 # (block, K, H) @ (block, H, C_in) -> (block, K, C_in)
                 weighted = lax.dot_general(
-                    jnp.swapaxes(infl, 1, 2), nb_feats,
+                    infl, nb_feats,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
