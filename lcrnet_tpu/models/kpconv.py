@@ -56,6 +56,25 @@ def batched_gather(data: jnp.ndarray, idx: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(valid[..., None], out, fill)
 
 
+def _pad_table_width(idx: jnp.ndarray, valid: jnp.ndarray, mult: int = 8):
+    """Pad a neighbor table's width to a multiple of the f32 sublane tile.
+
+    The conv's fused gather emits (block*h, C) rows and reshapes to
+    (block, h, C); when h is a multiple of 8 the tiled layouts coincide and
+    the reshape is a free bitcast, while h = 68 (the calibrated stage-0/2
+    limit) forces a physical relayout copy of the 128-lane-padded gather
+    output — measured ~20 ms/forward across the conv stack.  Padded columns
+    are invalid (masked), so the math is unchanged: truncation semantics
+    still follow the calibrated limit, the extra columns contribute zero.
+    """
+    h = idx.shape[-1]
+    pad = (-h) % mult
+    if pad == 0:
+        return idx, valid
+    widths = ((0, 0),) * (idx.ndim - 1) + ((0, pad),)
+    return jnp.pad(idx, widths), jnp.pad(valid, widths)
+
+
 def kpconv_influence(
     q_points: jnp.ndarray,
     s_points: jnp.ndarray,
@@ -81,6 +100,8 @@ def kpconv_influence(
     wasted lanes); with H = 64-96 neighbors in lanes it pads ~1.3-1.9x, and
     the conv's (K, H) x (H, C) contraction consumes this layout directly
     (the old layout swapaxed right before the matmul anyway)."""
+    neighbor_indices, neighbor_masks = _pad_table_width(
+        neighbor_indices, neighbor_masks)
     b, m, h = neighbor_indices.shape
     n = s_points.shape[1]
     k = kp.shape[0]
@@ -172,6 +193,14 @@ class KPConv(nn.Module):
 
         if self.ones_features:
             assert self.in_channels == 1, "ones_features requires C_in == 1"
+        neighbor_indices, neighbor_masks = _pad_table_width(
+            neighbor_indices, neighbor_masks)
+        if influence is not None and influence.shape[-1] != neighbor_indices.shape[-1]:
+            influence = jnp.pad(
+                influence,
+                ((0, 0), (0, 0), (0, 0),
+                 (0, neighbor_indices.shape[-1] - influence.shape[-1])),
+            )
         b, m, h = neighbor_indices.shape
         n = s_points.shape[1]
         k = self.kernel_size
