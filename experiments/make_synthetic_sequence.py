@@ -140,6 +140,11 @@ def main():
     ap.add_argument("--lateral_offset", type=float, default=2.5,
                     help="lap-2 path offset (m) — revisits are near, not exact")
     ap.add_argument("--reverse_lap2", action="store_true", default=True)
+    ap.add_argument("--laps", type=int, default=2,
+                    help="total ring laps; laps beyond 2 alternate direction "
+                         "and fan out in lateral offset (scales the frame "
+                         "count toward KITTI-00's 4541 without changing the "
+                         "world)")
     ap.add_argument("--sensor_range", type=float, default=55.0)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--keep_ratio", type=float, default=0.85)
@@ -152,20 +157,22 @@ def main():
     print(f"world: {len(world)} points over {len(sites)} sites")
 
     lap1 = densify(lap_waypoints(sites, 0.0, reverse=False), args.spacing)
-    lap2 = densify(
-        lap_waypoints(sites, args.lateral_offset, reverse=args.reverse_lap2),
-        args.spacing,
-    )
+    laps = [lap1]
+    for k in range(2, max(args.laps, 2) + 1):
+        # fan out: 2.5, -2.5, 5.0, -5.0, ... m lateral; alternate direction
+        off = args.lateral_offset * ((k // 2) * (1 if k % 2 == 0 else -1))
+        rev = args.reverse_lap2 if k == 2 else (k % 2 == 1)
+        laps.append(densify(lap_waypoints(sites, off, reverse=rev), args.spacing))
     # excursion spur: out to 1.6x ring radius and back, visited once —
     # these frames have no revisit and anchor the negative side of the GT
     spur_way = np.asarray(
         [sites[0], sites[0] * 1.6, sites[0] * 1.6 + [0, 50, 0], sites[0]], np.float32
     )
     spur = densify(spur_way, args.spacing)
-    path = np.vstack([lap1, spur, lap2])
+    path = np.vstack([laps[0], spur] + laps[1:])
     poses = poses_from_path(path)
     print(f"trajectory: {len(poses)} frames "
-          f"(lap1 {len(lap1)}, spur {len(spur)}, lap2 {len(lap2)})")
+          f"(laps {[len(l) for l in laps]}, spur {len(spur)})")
 
     seq_tag = f"{args.seq:02d}"
     scan_dir = osp.join(args.out, "downsampled_xyzi", seq_tag)

@@ -69,12 +69,6 @@ class KPEncoder(nn.Module):
         nb, nbm = pyramid.neighbors, pyramid.neighbor_masks
         sub, subm = pyramid.subsampling, pyramid.subsampling_masks
 
-        # each stage's SELF table feeds two conv blocks with the same
-        # radius/sigma: hoist the kernel-influence tensor (incl. its
-        # scattered coordinate gather) once per table
-        from lcrnet_tpu.models.kernel_points import load_kernel_points
-        from lcrnet_tpu.models.kpconv import kpconv_influence
-
         if spmd_axis is not None:
             from lcrnet_tpu.parallel.halo import (
                 remap_to_slab, shard_slice, slab_slice,
@@ -115,24 +109,19 @@ class KPEncoder(nn.Module):
             m1_local = m[1]
             feats_in = feats
 
-        def self_infl(view, radius, sigma):
-            kp = jnp.asarray(load_kernel_points(radius, ks))
-            return kpconv_influence(view["qp"], view["sp"], view["idx"], view["val"], kp, sigma)
-
-        infl0 = self_infl(v_self0, r, sg)
-        infl1 = self_infl(v_self1, r * 2, sg * 2)
-        v_self2 = dict(qp=p[2], qm=m[2], sp=p[2], sm=m[2], idx=nb[2], val=nbm[2])
-        v_self3 = dict(qp=p[3], qm=m[3], sp=p[3], sm=m[3], idx=nb[3], val=nbm[3])
-        infl2 = self_infl(v_self2, r * 4, sg * 4)
-        infl3 = self_infl(v_self3, r * 8, sg * 8)
-
         def sargs(view):
             return (view["qp"], view["sp"], view["idx"], view["val"])
 
+        # Kernel-influence reuse: the FIRST conv on each self table computes
+        # the (M, K, H) influence tensor inline (the coordinate rows ride
+        # its fused gather) and returns it; the second conv on the same
+        # table consumes it.  This replaced the standalone kpconv_influence
+        # hoist maps, whose separate (M, H)-row coordinate gathers cost
+        # ~11 ms/forward of pure address-generation (round-5 trace).
         feats_list = []
-        x = ConvBlock(self.input_dim, d, ks, r, sg, gn, ones_features=self.ones_features)(
-            feats_in, *sargs(v_self0), v_self0["qm"], norm_clouds, influence=infl0,
-            spmd_axis=spmd_axis)
+        x, infl0 = ConvBlock(self.input_dim, d, ks, r, sg, gn, ones_features=self.ones_features)(
+            feats_in, *sargs(v_self0), v_self0["qm"], norm_clouds,
+            spmd_axis=spmd_axis, return_influence=True)
         x = ResidualBlock(d, d * 2, ks, r, sg, gn)(
             x, *sargs(v_self0), v_self0["qm"], v_self0["qm"], norm_clouds,
             influence=infl0, spmd=ring0)
@@ -140,9 +129,9 @@ class KPEncoder(nn.Module):
 
         x = ResidualBlock(d * 2, d * 2, ks, r, sg, gn, strided=True)(
             x, *sargs(v_sub0), v_sub0["qm"], v_self0["qm"], norm_clouds, spmd=ring0)
-        x = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(
+        x, infl1 = ResidualBlock(d * 2, d * 4, ks, r * 2, sg * 2, gn)(
             x, *sargs(v_self1), v_self1["qm"], v_self1["qm"], norm_clouds,
-            influence=infl1, spmd=ring1)
+            spmd=ring1, return_influence=True)
         x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn)(
             x, *sargs(v_self1), v_self1["qm"], v_self1["qm"], norm_clouds,
             influence=infl1, spmd=ring1)
@@ -152,12 +141,14 @@ class KPEncoder(nn.Module):
         # here on; the block all-gathers its bottleneck support features
         x = ResidualBlock(d * 4, d * 4, ks, r * 2, sg * 2, gn, strided=True)(
             x, p[2], p[1], sub[1], subm[1], m[2], m1_local, norm_clouds, spmd=gather1)
-        x = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, influence=infl2)
+        x, infl2 = ResidualBlock(d * 4, d * 8, ks, r * 4, sg * 4, gn)(
+            x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, return_influence=True)
         x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn)(x, p[2], p[2], nb[2], nbm[2], m[2], m[2], norm_clouds, influence=infl2)
         feats_list.append(x)
 
         x = ResidualBlock(d * 8, d * 8, ks, r * 4, sg * 4, gn, strided=True)(x, p[3], p[2], sub[2], subm[2], m[3], m[2], norm_clouds)
-        x = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds, influence=infl3)
+        x, infl3 = ResidualBlock(d * 8, d * 16, ks, r * 8, sg * 8, gn)(
+            x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds, return_influence=True)
         x = ResidualBlock(d * 16, d * 16, ks, r * 8, sg * 8, gn)(x, p[3], p[3], nb[3], nbm[3], m[3], m[3], norm_clouds, influence=infl3)
         feats_list.append(x)
 
@@ -226,18 +217,12 @@ class VoteEncoder(nn.Module):
             centers, centers, node_masks, node_masks, r * 16, self.self_neighbor_limit
         )
 
-        from lcrnet_tpu.models.kernel_points import load_kernel_points
-        from lcrnet_tpu.models.kpconv import kpconv_influence
-
-        kp16 = jnp.asarray(load_kernel_points(r * 16, ks))
-        self_infl = kpconv_influence(centers, centers, self_idx, self_val, kp16, sg * 16)
-
         x = ResidualBlock(d * 4, d * 4, ks, r * 8, sg * 8, gn, strided=True)(
             feats_c, centers, points_c, sub_idx, sub_val, node_masks, masks_c, norm_clouds
         )
-        x = ResidualBlock(d * 4, d * 8, ks, r * 16, sg * 16, gn)(
+        x, self_infl = ResidualBlock(d * 4, d * 8, ks, r * 16, sg * 16, gn)(
             x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds,
-            influence=self_infl
+            return_influence=True
         )
         x = ResidualBlock(d * 8, d * 8, ks, r * 16, sg * 16, gn)(
             x, centers, centers, self_idx, self_val, node_masks, node_masks, norm_clouds,

@@ -37,6 +37,14 @@ from lcrnet_tpu.models.kernel_points import load_kernel_points
 _PAD_OFFSET = 1.0e6
 
 
+def _influence_dtype():
+    """Storage dtype for influence tensors streamed between conv blocks:
+    bf16 on TPU (the consuming matmul's default-precision input rounding is
+    bf16 regardless), f32 elsewhere (CPU matmuls are true f32 and the
+    golden tests pin bit-stability there)."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def _kaiming_uniform(key, shape, dtype=jnp.float32):
     """Kaiming-uniform over fan_in = prod(shape[:-1]) (K*C_in for KPConv)."""
     fan_in = 1
@@ -145,6 +153,8 @@ class KPConv(nn.Module):
     radius: float
     sigma: float
     use_bias: bool = True
+    # 4096 measured best: 8192 halves the lax.map iteration count but the
+    # forward regressed 105.3 -> 108.1 ms (bigger blocks pipeline worse)
     query_block: int = 4096
     # the first backbone conv consumes the mask-as-feature ones column
     # (reference feeds a constant-1 feature, `backbone4.py:60`): the neighbor
@@ -157,7 +167,7 @@ class KPConv(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
-                 influence=None, aux_maxpool=None):
+                 influence=None, aux_maxpool=None, return_influence=False):
         """KPConv over padded batched clouds.
 
         Args:
@@ -166,18 +176,24 @@ class KPConv(nn.Module):
           neighbor_indices: (B, M, H) per-cloud support indices.
           neighbor_masks: (B, M, H) validity.
           influence: optional precomputed (B, M, K, H) kernel-influence
-            tensor from `kpconv_influence` for THIS table/radius/sigma —
-            skips the per-conv coordinate gather + influence math (share
-            across conv blocks on the same table).
+            tensor for THIS table/radius/sigma — skips the per-conv
+            coordinate gather + influence math.  Produced by a prior conv
+            on the same table via `return_influence=True` (the coordinate
+            rows ride that conv's fused gather for free) or by
+            `kpconv_influence`.
           aux_maxpool: optional (B, N, C_aux) support features to max-pool
             over the SAME neighbor table (the strided ResidualBlock's
             shortcut `maxpool`).  Scattered row gathers on TPU are
             address-generation-bound, not byte-bound, so widening the
             conv's gather row by C_aux lanes is nearly free while a
             separate maxpool gather pays a full (M*H)-row address pass.
+          return_influence: also return the inline-computed influence
+            tensor so the NEXT conv on the same table can reuse it
+            (requires influence=None).
 
-        Returns: (B, M, C_out), or (out, aux_pooled (B, M, C_aux)) when
-        aux_maxpool is given.
+        Returns: (B, M, C_out), extended to (out, aux_pooled (B, M, C_aux))
+        when aux_maxpool is given and/or (..., influence) when
+        return_influence is set.
         """
         kp = jnp.asarray(load_kernel_points(self.radius, self.kernel_size))  # (K, 3)
         weights = self.param(
@@ -193,6 +209,7 @@ class KPConv(nn.Module):
 
         if self.ones_features:
             assert self.in_channels == 1, "ones_features requires C_in == 1"
+        assert not (return_influence and influence is not None)
         neighbor_indices, neighbor_masks = _pad_table_width(
             neighbor_indices, neighbor_masks)
         if influence is not None and influence.shape[-1] != neighbor_indices.shape[-1]:
@@ -248,6 +265,9 @@ class KPConv(nn.Module):
                 infl = None
             else:
                 bqp, bidx, bmsk, cid, infl = args
+                # bf16-streamed influence: upcast in-register for the f32
+                # contraction (the MXU rounds back to bf16 internally)
+                infl = infl.astype(jnp.float32)
             ci = jnp.clip(bidx, 0, n - 1)
             nb_feats = nb_aux = nb_pts = None
             if gather_src is not None:
@@ -301,24 +321,35 @@ class KPConv(nn.Module):
             )
             count = jnp.maximum(jnp.sum(bmsk.astype(jnp.float32), axis=1), 1.0)
             out = out / count[:, None]
-            if nb_aux is None:
-                return out
-            # masked neighbor max-pool, identical to `maxpool`
-            pooled = jnp.max(jnp.where(bmsk[..., None], nb_aux, -1.0e12), axis=1)
-            pooled = jnp.where(jnp.any(bmsk, axis=1, keepdims=True), pooled, 0.0)
-            return out, pooled
+            pooled = None
+            if nb_aux is not None:
+                # masked neighbor max-pool, identical to `maxpool`
+                pooled = jnp.max(jnp.where(bmsk[..., None], nb_aux, -1.0e12), axis=1)
+                pooled = jnp.where(jnp.any(bmsk, axis=1, keepdims=True), pooled, 0.0)
+            if return_influence and infl is not None:
+                # TPU: stream the reused influence in bf16 — its only
+                # consumer is the (K, H) x (H, C) MXU contraction, whose
+                # default-precision input rounding is bf16 anyway, so the
+                # halved HBM stream costs no precision the matmul had.
+                # CPU keeps f32 (true-f32 matmuls there; goldens bit-stable).
+                infl = infl.astype(_influence_dtype())
+            return out, pooled, (infl if return_influence else None)
 
         if pre_infl is None:
-            out = lax.map(one_block, (qp, idx, msk, cloud_of_block))
+            out, pooled, infl_out = lax.map(
+                one_block, (qp, idx, msk, cloud_of_block))
         else:
-            out = lax.map(one_block, (qp, idx, msk, cloud_of_block, pre_infl))
-        if aux_maxpool is not None:
-            out, pooled = out
-            pooled = pooled.reshape(b, nb * block, -1)[:, :m]
+            out, pooled, infl_out = lax.map(
+                one_block, (qp, idx, msk, cloud_of_block, pre_infl))
         out = out.reshape(b, nb * block, c_out)[:, :m]
         if bias is not None:
             out = out + bias
-        return (out, pooled) if aux_maxpool is not None else out
+        results = (out,)
+        if aux_maxpool is not None:
+            results += (pooled.reshape(b, nb * block, -1)[:, :m],)
+        if return_influence:
+            results += (infl_out.reshape(b, nb * block, k, h)[:, :m],)
+        return results if len(results) > 1 else out
 
 
 class MaskedGroupNorm(nn.Module):
@@ -418,7 +449,7 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks, q_mask,
                  norm_clouds: int = 1, influence=None,
-                 spmd_axis: Optional[str] = None):
+                 spmd_axis: Optional[str] = None, return_influence: bool = False):
         """spmd_axis: queries (and hence outputs) hold this device's
         point-axis shard; GroupNorm stats psum over the axis.  The support
         args must already be slab-remapped by the caller (a ones_features
@@ -426,10 +457,14 @@ class ConvBlock(nn.Module):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size, self.radius, self.sigma,
             ones_features=self.ones_features,
-        )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks, influence=influence)
+        )(s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
+          influence=influence, return_influence=return_influence)
+        if return_influence:
+            x, infl = x
         x = MaskedGroupNorm(self.group_norm, self.out_channels)(
             x, q_mask, norm_clouds, spmd_axis)
-        return nn.leaky_relu(x, 0.1)
+        x = nn.leaky_relu(x, 0.1)
+        return (x, infl) if return_influence else x
 
 
 def maxpool(s_feats, neighbor_indices, neighbor_masks):
@@ -470,7 +505,7 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, neighbor_masks,
                  q_mask, s_mask, norm_clouds: int = 1, influence=None,
-                 spmd=None):
+                 spmd=None, return_influence: bool = False):
         """spmd: None for the plain path, else ("ring"|"gather", axis_name)
         for point-axis (mp) sharding inside shard_map:
 
@@ -508,16 +543,24 @@ class ResidualBlock(nn.Module):
                 x_sup, short_sup = exchange(x, axis), None
         else:
             x_sup, short_sup = x, s_feats if self.strided else None
+        infl_out = None
         if self.strided:
             # the shortcut maxpool rides the conv's gather (same neighbor
             # rows) instead of paying its own address pass
-            x, shortcut = conv(
+            x = conv(
                 x_sup, q_points, s_points, neighbor_indices, neighbor_masks,
                 influence=influence, aux_maxpool=short_sup,
+                return_influence=return_influence,
             )
+            if return_influence:
+                x, shortcut, infl_out = x
+            else:
+                x, shortcut = x
         else:
             x = conv(x_sup, q_points, s_points, neighbor_indices, neighbor_masks,
-                     influence=influence)
+                     influence=influence, return_influence=return_influence)
+            if return_influence:
+                x, infl_out = x
             shortcut = s_feats
         x = MaskedGroupNorm(self.group_norm, mid)(x, q_mask, norm_clouds, q_spmd)
         x = nn.leaky_relu(x, 0.1)
@@ -527,4 +570,5 @@ class ResidualBlock(nn.Module):
             shortcut = UnaryBlock(
                 self.in_channels, self.out_channels, self.group_norm, has_relu=False
             )(shortcut, q_mask, norm_clouds, q_spmd)
-        return nn.leaky_relu(x + shortcut, 0.1)
+        out = nn.leaky_relu(x + shortcut, 0.1)
+        return (out, infl_out) if return_influence else out

@@ -29,8 +29,12 @@ _BIG = 1.0e12
 def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2, fast_select):
     """One query block: distances + in-VMEM argmin extraction.
 
-    ws_ref: scalar-prefetch (grid,) window starts into the flattened,
-    cloud-offset support array.  q_ref: (block, 3) x-sorted queries.
+    ws_ref: scalar-prefetch (2, grid): row 0 = window starts into the
+    flattened, cloud-offset support array; row 1 = block-active flags (0 for
+    all-pad query blocks — x-sorted stages keep pads at the tail, so a block
+    whose first query is a pad holds only pads and is skipped outright:
+    outputs are written invalid without touching the distance matrix).
+    q_ref: (block, 3) x-sorted queries.
     s_ref: full flattened supports, TRANSPOSED (3, B*S) so the dynamic
     window slice runs along the lane dimension (Mosaic-friendly); invalid
     supports carry PAD coordinates and fall out of the radius test.
@@ -44,55 +48,63 @@ def _kernel(ws_ref, q_ref, s_ref, idx_ref, val_ref, *, window, limit, r2, fast_s
     valid nearest-`limit` truncation set.
     """
     i = pl.program_id(0)
-    ws = pl.multiple_of(ws_ref[i], 128)
-    blk = q_ref[0]                                   # (block, 3)
-    win = s_ref[:, pl.ds(ws, window)]                # (3, window)
+    block = q_ref.shape[1]
 
-    cross = jax.lax.dot_general(
-        blk, win,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (block, window)
-    q2 = jnp.sum(blk * blk, axis=1, keepdims=True)
-    s2 = jnp.sum(win * win, axis=0)[None, :]
-    d2 = q2 - 2.0 * cross + s2
-    d2 = jnp.where(d2 <= r2, d2, _BIG)
+    @pl.when(ws_ref[1, i] == 0)
+    def _skip():
+        idx_ref[0] = jnp.zeros((block, limit), jnp.int32)
+        val_ref[0] = jnp.full((block, limit), _BIG, jnp.float32)
 
-    block = blk.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+    @pl.when(ws_ref[1, i] != 0)
+    def _compute():
+        ws = pl.multiple_of(ws_ref[0, i], 128)
+        blk = q_ref[0]                                   # (block, 3)
+        win = s_ref[:, pl.ds(ws, window)]                # (3, window)
 
-    idx_cols = []
-    val_cols = []
-    if fast_select:
-        assert window <= 8192, "packed index field is 13 bits"
-        # pack: p = quantized_distance * 8192 + window_index, exact in f32
-        # (max 2047*8192 + 8191 < 2^24); out-of-radius entries stay _BIG
-        qd = jnp.floor(d2 * (2047.0 / r2))
-        packed = jnp.where(
-            d2 <= r2, qd * 8192.0 + iota.astype(jnp.float32), _BIG
-        )
-        # static unroll: Mosaic requires static store columns
-        for _ in range(limit):
-            bv = jnp.min(packed, axis=1)                     # (block,)
-            # the packed value uniquely identifies one element (index bits)
-            packed = jnp.where(packed == bv[:, None], _BIG, packed)
-            qv = jnp.floor(bv * (1.0 / 8192.0))
-            best = (bv - qv * 8192.0).astype(jnp.int32)
-            ok = bv < 2.0e7  # any real packed value < 2^24 << _BIG
-            idx_cols.append(jnp.where(ok, best + ws, 0)[:, None])
-            # reconstruct an approximate d2 for the validity contract
-            val_cols.append(jnp.where(ok, qv * (r2 / 2047.0), _BIG)[:, None])
-    else:
-        d = d2
-        for _ in range(limit):
-            bv = jnp.min(d, axis=1)
-            best = jnp.argmin(d, axis=1).astype(jnp.int32)
-            d = jnp.where(iota == best[:, None], _BIG, d)
-            idx_cols.append((best + ws)[:, None])
-            val_cols.append(bv[:, None])
-    idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
-    val_ref[0] = jnp.concatenate(val_cols, axis=1)
+        cross = jax.lax.dot_general(
+            blk, win,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (block, window)
+        q2 = jnp.sum(blk * blk, axis=1, keepdims=True)
+        s2 = jnp.sum(win * win, axis=0)[None, :]
+        d2 = q2 - 2.0 * cross + s2
+        d2 = jnp.where(d2 <= r2, d2, _BIG)
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (block, window), 1)
+
+        idx_cols = []
+        val_cols = []
+        if fast_select:
+            assert window <= 8192, "packed index field is 13 bits"
+            # pack: p = quantized_distance * 8192 + window_index, exact in f32
+            # (max 2047*8192 + 8191 < 2^24); out-of-radius entries stay _BIG
+            qd = jnp.floor(d2 * (2047.0 / r2))
+            packed = jnp.where(
+                d2 <= r2, qd * 8192.0 + iota.astype(jnp.float32), _BIG
+            )
+            # static unroll: Mosaic requires static store columns
+            for _ in range(limit):
+                bv = jnp.min(packed, axis=1)                     # (block,)
+                # the packed value uniquely identifies one element (index bits)
+                packed = jnp.where(packed == bv[:, None], _BIG, packed)
+                qv = jnp.floor(bv * (1.0 / 8192.0))
+                best = (bv - qv * 8192.0).astype(jnp.int32)
+                ok = bv < 2.0e7  # any real packed value < 2^24 << _BIG
+                idx_cols.append(jnp.where(ok, best + ws, 0)[:, None])
+                # reconstruct an approximate d2 for the validity contract
+                val_cols.append(jnp.where(ok, qv * (r2 / 2047.0), _BIG)[:, None])
+        else:
+            d = d2
+            for _ in range(limit):
+                bv = jnp.min(d, axis=1)
+                best = jnp.argmin(d, axis=1).astype(jnp.int32)
+                d = jnp.where(iota == best[:, None], _BIG, d)
+                idx_cols.append((best + ws)[:, None])
+                val_cols.append(bv[:, None])
+        idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
+        val_ref[0] = jnp.concatenate(val_cols, axis=1)
 
 
 def radius_search_banded_pallas(
@@ -129,6 +141,7 @@ def radius_search_banded_pallas(
 
     if presorted:
         q_sorted = q_points
+        q_msorted = q_mask
         s_sorted = s_points
         s_sorted_x = jnp.where(s_mask, s_points[..., 0], 1.0e9)
         s_sorted_inv = jnp.logical_not(s_mask)
@@ -139,6 +152,7 @@ def radius_search_banded_pallas(
         q_order = jnp.argsort(qx, axis=-1).astype(jnp.int32)
         s_order = jnp.argsort(sx, axis=-1).astype(jnp.int32)
         q_sorted = jnp.take_along_axis(q_points, q_order[..., None], axis=1)
+        q_msorted = jnp.take_along_axis(q_mask, q_order, axis=-1)
         s_sorted = jnp.take_along_axis(s_points, s_order[..., None], axis=1)
         s_sorted_x = jnp.take_along_axis(sx, s_order, axis=-1)
         s_sorted_inv = jnp.logical_not(jnp.take_along_axis(s_mask, s_order, axis=-1))
@@ -175,6 +189,14 @@ def radius_search_banded_pallas(
     # only grows left; `window` carries +128 slack for the lost right edge)
     ws_local = (jnp.clip(ws_local, 0, s - w) // 128) * 128
     ws = ws_local + cloud * s  # flattened offset (s is a multiple of 128)
+
+    # block-active flags: all-pad query blocks (x-sorted pads sit at the
+    # tail — on a 17k-point scan in the 20480 budget that is ~17% of the
+    # stage-0 grid) skip the distance+extraction work entirely
+    active = jnp.any(
+        jnp.pad(q_msorted, ((0, 0), (0, pad))).reshape(grid, block), axis=1
+    ).astype(jnp.int32)
+    ws = jnp.stack([ws, active])  # (2, grid) scalar-prefetch payload
 
     # invalid supports get PAD coords so the radius test alone excludes them
     s_sorted = jnp.where(s_sorted_inv[..., None], 1.0e6, s_sorted)

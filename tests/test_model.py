@@ -186,6 +186,18 @@ def test_kpconv_precomputed_influence_exact(rng):
                          jnp.asarray(idx), jnp.asarray(msk), influence=infl)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(hoisted))
 
+    # the conv's own inline influence (return_influence=True, the encoder's
+    # reuse path) must equal kpconv_influence bit-for-bit, and feeding it
+    # back must reproduce the plain output
+    returned, infl_inline = conv.apply(
+        params, jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pts),
+        jnp.asarray(idx), jnp.asarray(msk), return_influence=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(returned))
+    np.testing.assert_array_equal(np.asarray(infl), np.asarray(infl_inline))
+    reused = conv.apply(params, jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(pts),
+                        jnp.asarray(idx), jnp.asarray(msk), influence=infl_inline)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(reused))
+
 
 def test_init_params_shape_budget_invariant():
     """`pipeline.init_params` initializes on a tiny synthetic pyramid for
