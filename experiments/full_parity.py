@@ -367,11 +367,58 @@ def run_ours_pose(limits, pairs, scans, params):
     return results
 
 
-def pose_parity(limits, snapshot, out_path):
+def synthetic_pose_pairs(dataset_root, family, seq, num_pairs, seed=7351,
+                         min_baseline=2.0, max_baseline=9.0, min_gap=200):
+    """Sample GT pose pairs from a generated sequence (the statistical
+    pose-parity population: n >= 20 instead of the 3 shipped demo pairs).
+
+    Pairs are revisits: frame i paired with an earlier frame j whose
+    position is within [min_baseline, max_baseline] m and at least min_gap
+    frames older — the loop-closure geometry the demo pairs exhibit.
+    Transforms follow the pair-file convention (src = anc aligned onto
+    ref = pos)."""
+    from lcrnet_tpu.data.datasets import make_sequence
+    from lcrnet_tpu.data.kitti import relative_transform
+
+    from lcrnet_tpu.config import make_cfg as _mk
+
+    source = make_sequence(family, dataset_root, seq,
+                           _mk().backbone.init_voxel_size)
+    poses = source.poses()
+    positions = poses[:, :3, 3]
+    rng = np.random.default_rng(seed)
+    candidates = []
+    for i in range(len(poses)):
+        earlier = positions[: max(i - min_gap, 0)]
+        if not len(earlier):
+            continue
+        d = np.linalg.norm(earlier - positions[i], axis=1)
+        js = np.nonzero((d >= min_baseline) & (d <= max_baseline))[0]
+        if len(js):
+            candidates.append((i, int(rng.choice(js))))
+    assert len(candidates) >= num_pairs, (
+        f"only {len(candidates)} revisit pairs in the sequence")
+    sel = rng.choice(len(candidates), num_pairs, replace=False)
+    pairs, scans = [], {}
+    for ci in sorted(sel):
+        i, j = candidates[ci]
+        pairs.append({
+            "anc_idx": i, "pos_idx": j,
+            "transform": relative_transform(poses[j], poses[i]).astype(np.float32),
+        })
+        for f in (i, j):
+            if f not in scans:
+                scans[f] = source(f)
+    return scans, pairs
+
+
+def pose_parity(limits, snapshot, out_path, scans=None, pairs=None,
+                tag="pose_parity"):
     """Cross-implementation pose parity with TRAINED weights: run this
     framework's snapshot through the reverse converter into the reference's
-    own torch LCRNet, execute both full pipelines on the 3 GT demo pairs,
-    and compare pose errors + descriptor distances."""
+    own torch LCRNet, execute both full pipelines on GT pairs (default: the
+    3 demo pairs; pass scans/pairs for a synthetic population), and compare
+    pose errors + descriptor distances."""
     import jax.numpy as jnp
     import jax
 
@@ -385,9 +432,10 @@ def pose_parity(limits, snapshot, out_path):
     params = init_params(cfg)
     params = load_snapshot(snapshot, template={"params": params})["params"]
 
-    scans = {f: load_scan_npy(osp.join(DEMO_DIR, f"{f:06d}.npy"))
-             for f in DEMO_FRAMES}
-    pairs = load_pair_npz_mixed(GT_NPZ, frames=set(DEMO_FRAMES))
+    if scans is None:
+        scans = {f: load_scan_npy(osp.join(DEMO_DIR, f"{f:06d}.npy"))
+                 for f in DEMO_FRAMES}
+        pairs = load_pair_npz_mixed(GT_NPZ, frames=set(DEMO_FRAMES))
 
     print(f"[pose 1/3] JAX pair forward on {len(pairs)} GT pairs ...", flush=True)
     ours = run_ours_pose(limits, pairs, scans, jax.tree.map(jnp.asarray, params))
@@ -418,16 +466,27 @@ def pose_parity(limits, snapshot, out_path):
             "desc_L2_rel_diff": round(
                 abs(r["desc_L2"] - o["desc_L2"]) / max(r["desc_L2"], 1e-9), 4),
         })
-    report = {"snapshot": snapshot, "limits": list(limits), "pairs": rows}
+    rel_rre = [r["RRE_est_vs_est"] for r in rows]
+    rel_rte = [r["RTE_est_vs_est_cm"] for r in rows]
+    report = {
+        "snapshot": snapshot, "limits": list(limits), "n": len(rows),
+        "RRE_est_vs_est_median": round(float(np.median(rel_rre)), 4),
+        "RRE_est_vs_est_p90": round(float(np.percentile(rel_rre, 90)), 4),
+        "RRE_est_vs_est_max": round(float(np.max(rel_rre)), 4),
+        "RTE_est_vs_est_cm_median": round(float(np.median(rel_rte)), 2),
+        "RTE_est_vs_est_cm_max": round(float(np.max(rel_rte)), 2),
+        "pairs": rows,
+    }
     if osp.exists(out_path):
         with open(out_path) as f:
             full = json.load(f)
     else:
         full = {}
-    full["pose_parity"] = report
+    full[tag] = report
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1)
-    print(json.dumps(report, indent=1))
+    print(json.dumps({k: v for k, v in report.items() if k != "pairs"}, indent=1))
+    print(json.dumps(rows, indent=1))
 
 
 def main():
@@ -440,6 +499,14 @@ def main():
                          "mode (reverse-convert into the reference torch "
                          "model, compare RRE/RTE/descriptor per GT pair) "
                          "instead of the random-weights feature parity")
+    ap.add_argument("--synthetic_pairs", type=int, default=0,
+                    help="pose mode: sample this many revisit GT pairs from "
+                         "--dataset_root instead of the 3 demo pairs "
+                         "(statistical parity, stored as "
+                         "pose_parity_synthetic)")
+    ap.add_argument("--dataset_root", default=None)
+    ap.add_argument("--family", default="ford")
+    ap.add_argument("--seq", default="1")
     args = ap.parse_args()
 
     if args.snapshot:
@@ -450,7 +517,16 @@ def main():
             if args.limits
             else make_cfg().shapes.neighbor_limits
         )
-        pose_parity(limits, args.snapshot, args.out)
+        scans = pairs = None
+        tag = "pose_parity"
+        if args.synthetic_pairs:
+            assert args.dataset_root, "--synthetic_pairs needs --dataset_root"
+            seq = int(args.seq) if str(args.seq).isdigit() else args.seq
+            scans, pairs = synthetic_pose_pairs(
+                args.dataset_root, args.family, seq, args.synthetic_pairs)
+            tag = "pose_parity_synthetic"
+        pose_parity(limits, args.snapshot, args.out, scans=scans, pairs=pairs,
+                    tag=tag)
         return
 
     from lcrnet_tpu.config import make_cfg

@@ -145,6 +145,9 @@ def main():
         print(
             f"AUC: {res['AUC']:.3f}  F1max: {res['F1max']:.3f}  "
             f"Recall@1: {res['Recall@1']:.3f}  Recall@1%: {res['Recall@1pct']:.3f}"
+            f"  Recall@1%honest(k={res['honest_k']}): "
+            f"{res['Recall@1pct_honest']:.3f}"
+            f"  db_scan: {res['db_scan_seconds']:.2f}s/{n}f"
         )
 
 

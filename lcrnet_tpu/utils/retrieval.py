@@ -85,19 +85,29 @@ def evaluate_loop_detection(
     Returns dict with F1max, AUC, Recall@1, Recall@1pct, plus the raw
     top-1 distances for downstream dumps.
     """
+    import time as _time
+
     n = len(descriptors)
+    # honest "1%" candidate count for THIS sequence, alongside the
+    # reference's fixed k (45 = 1% of KITTI-00's 4541 frames) for
+    # cross-reference comparability — on shorter sequences the fixed k
+    # overstates R@1% (45 candidates of a 478-frame DB is ~10%)
+    honest_k = max(1, round(0.01 * n))
+    k_search = max(topk, recall_pct_k, honest_k)
+    t0 = _time.perf_counter()
     if mesh is not None:
         from lcrnet_tpu.parallel.retrieval import sharded_causal_topk_search
 
         dists, idx = sharded_causal_topk_search(
-            np.asarray(descriptors), k=topk, exclusion=exclusion, mesh=mesh
+            np.asarray(descriptors), k=k_search, exclusion=exclusion, mesh=mesh
         )
     else:
         dists, idx = causal_topk_search(
-            jnp.asarray(descriptors), k=topk, exclusion=exclusion
+            jnp.asarray(descriptors), k=k_search, exclusion=exclusion
         )
     dists = np.asarray(dists)
     idx = np.asarray(idx)
+    scan_seconds = _time.perf_counter() - t0
 
     has_gt = np.array([len(gt_positives[i]) > 0 for i in range(n)])
     queries = np.array(
@@ -131,6 +141,8 @@ def evaluate_loop_detection(
     if len(precisions) == 0:
         return {
             "F1max": 0.0, "AUC": 0.0, "Recall@1": 0.0, "Recall@1pct": 0.0,
+            "Recall@1pct_honest": 0.0, "honest_k": honest_k,
+            "db_scan_seconds": scan_seconds,
             "precisions": precisions, "recalls": recalls,
             "top1_distances": top1_dist, "top1_indices": top1_idx,
         }
@@ -160,11 +172,26 @@ def evaluate_loop_detection(
         if gt_queries
         else 0.0
     )
+    r_honest = (
+        float(
+            np.mean(
+                [
+                    len(set(idx[i, :honest_k]) & set(gt_positives[i])) > 0
+                    for i in gt_queries
+                ]
+            )
+        )
+        if gt_queries
+        else 0.0
+    )
     return {
         "F1max": float(f1.max()),
         "AUC": auc,
         "Recall@1": r1,
         "Recall@1pct": rpct,
+        "Recall@1pct_honest": r_honest,
+        "honest_k": honest_k,
+        "db_scan_seconds": scan_seconds,
         # raw curves/artifacts (reference dumps predicted_des_L2_dis.npz +
         # PRC.png; matplotlib-free here — arrays for downstream plotting)
         "precisions": precisions,
