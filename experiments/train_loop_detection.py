@@ -20,6 +20,7 @@ After training, graft the netvlad subtree into a registration snapshot with
 """
 
 import argparse
+import os
 import os.path as osp
 import sys
 
@@ -106,8 +107,14 @@ def main():
                 cfg, args.num_pos, args.num_neg)
         seq_tag = f"{seq:02d}" if isinstance(seq, int) else str(seq)
 
-        # load every referenced dump ONCE into a device-resident cache;
-        # steps address it by row index (no per-step feature transfer)
+        # load every referenced dump ONCE; steps address it by row index.
+        # Small caches live device-resident in HBM (zero per-step transfer,
+        # ACCURACY_r05: 9.3x the online step rate at 478 frames / 2 GB).
+        # Sequence-scale caches (2216 frames = 9.3 GB stage-4 dumps) exceed
+        # the chip next to the model + step workspace, so above a budget the
+        # cache STREAMS: it stays in host RAM and each dispatch ships only
+        # the rows that chunk touches (~4 MB/tuple) as a remapped mini-cache
+        # through the same step function.
         referenced = sorted({
             int(i)
             for anc, poss, negs in tuples
@@ -120,10 +127,18 @@ def main():
         for f, r in cache_row.items():
             d = np.load(osp.join(args.feature_dir, f"{seq_tag}_{f:06d}.npz"))
             cache_f[r], cache_m[r] = d["feats"], d["mask"]
-        cache_f = jnp.asarray(cache_f)
-        cache_m = jnp.asarray(cache_m)
-        logger.info(f"feature cache: {len(referenced)} frames, "
-                    f"{cache_f.nbytes / 1e9:.2f} GB device-resident")
+        hbm_budget = float(os.environ.get("LCRNET_HALF_CACHE_HBM_BUDGET", 6e9))
+        stream_cache = cache_f.nbytes > hbm_budget
+        if stream_cache:
+            logger.info(
+                f"feature cache: {len(referenced)} frames, "
+                f"{cache_f.nbytes / 1e9:.2f} GB > {hbm_budget / 1e9:.1f} GB HBM "
+                f"budget — STREAMING from host RAM (per-dispatch mini-cache)")
+        else:
+            cache_f = jnp.asarray(cache_f)
+            cache_m = jnp.asarray(cache_m)
+            logger.info(f"feature cache: {len(referenced)} frames, "
+                        f"{cache_f.nbytes / 1e9:.2f} GB device-resident")
     else:
         step = make_descriptor_train_step(cfg, args.num_pos, args.num_neg, frozen=frozen)
         if args.chunk > 1:
@@ -195,6 +210,20 @@ def main():
 
     build = make_batch_half if half else make_batch
 
+    def minicache(rows, k_steps):
+        """Streaming half mode: host-gather the rows this dispatch touches
+        into a fixed-capacity mini-cache (static shape — no retraces) and
+        remap the row indices into it."""
+        cap_rows = k_steps * args.batch_size * (group - 1)
+        uniq, inv = np.unique(rows, return_inverse=True)
+        sel = np.zeros(cap_rows, np.int64)
+        sel[: len(uniq)] = uniq
+        return (
+            jnp.asarray(cache_f[sel]),
+            jnp.asarray(cache_m[sel]),
+            inv.reshape(rows.shape).astype(np.int32),
+        )
+
     rng = np.random.default_rng(cfg.seed)
     for epoch in range(args.max_epoch):
         board = SummaryBoard()
@@ -208,8 +237,13 @@ def main():
                 arrays = [jnp.asarray(np.stack(part)) for part in zip(*chunk)]
                 if half:
                     pts_k, msk_k, idx_k = arrays
-                    state, metrics = multistep(
-                        state, pts_k, msk_k, cache_f, cache_m, idx_k)
+                    if stream_cache:
+                        cf, cm, idx_np = minicache(np.asarray(idx_k), args.chunk)
+                        state, metrics = multistep(
+                            state, pts_k, msk_k, cf, cm, jnp.asarray(idx_np))
+                    else:
+                        state, metrics = multistep(
+                            state, pts_k, msk_k, cache_f, cache_m, idx_k)
                 else:
                     state, metrics = multistep(state, *arrays)
             else:
@@ -217,8 +251,13 @@ def main():
                 i += 1
                 if half:
                     pts_1, msk_1, idx_1 = arrays
-                    state, metrics = step(
-                        state, pts_1, msk_1, cache_f, cache_m, idx_1)
+                    if stream_cache:
+                        cf, cm, idx_np = minicache(np.asarray(idx_1), 1)
+                        state, metrics = step(
+                            state, pts_1, msk_1, cf, cm, jnp.asarray(idx_np))
+                    else:
+                        state, metrics = step(
+                            state, pts_1, msk_1, cache_f, cache_m, idx_1)
                 else:
                     state, metrics = step(state, *arrays)
             board.update_from_dict({k: float(v) for k, v in metrics.items()})

@@ -205,6 +205,47 @@ def test_train_loop_detection_cli(tmp_path, rng):
     assert "epoch 1/1" in log and "nan" not in log.lower().replace("nan_", "")
 
 
+@pytest.mark.slow
+def test_train_loop_detection_half_stream_matches_resident(tmp_path, rng):
+    """Streaming half mode (host-RAM cache, per-dispatch mini-cache — the
+    sequence-scale path where the stage-4 dumps exceed HBM) must produce
+    the same training trajectory as the device-resident cache."""
+    root, _ = make_kitti_tree(tmp_path, rng, n_frames=4)
+    feat_dir = tmp_path / "features"
+    r = run_cli(
+        ["experiments/preextract_features.py", "--dataset_root", str(root),
+         "--seq", "8", "--output", str(feat_dir)]
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    tuple_file = tmp_path / "tuples.npz"
+    np.savez(
+        tuple_file,
+        anc_idx=np.array([0, 1, 2]),
+        pos_idx=np.array([1, 2, 3]),
+        neg_idx=np.array([3, 3, 0]),
+    )
+    outs = {}
+    for mode, budget in (("resident", "1e12"), ("stream", "1")):
+        out = tmp_path / f"ld_{mode}"
+        r = run_cli(
+            [
+                "experiments/train_loop_detection.py",
+                "--dataset_root", str(root), "--seq", "8",
+                "--tuple_file", str(tuple_file), "--output", str(out),
+                "--train_mode", "half", "--feature_dir", str(feat_dir),
+                "--num_pos", "1", "--num_neg", "1",
+                "--max_epoch", "1", "--chunk", "2",
+            ],
+            env_extra={"LCRNET_HALF_CACHE_HBM_BUDGET": budget},
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = (out / "logs" / "train.log").read_text()
+        assert ("STREAMING" in log) == (mode == "stream"), log[-500:]
+        line = [l for l in log.splitlines() if "epoch 1/1" in l][-1]
+        outs[mode] = line.split("loss:")[-1].strip()
+    assert outs["resident"] == outs["stream"], outs
+
+
 def test_generate_pairs_cli(tmp_path, rng):
     """experiments/generate_pairs.py produces every reference GT artifact
     (registration text, loop/mixed npz rows, overlap npz) from a KITTI-layout
