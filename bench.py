@@ -132,7 +132,7 @@ def main():
     # recorded in the output line either way, and a random-init worst-case
     # row bounds the data-dependence.
     weights_src = "random-init"
-    for snap in ("output/accuracy_r06/snapshots", "output/accuracy_r05b/snapshots",
+    for snap in ("output/accuracy_r07/snapshots", "output/accuracy_r06b/snapshots",
                  "output/accuracy_r04d/snapshots"):
         if os.path.isdir(snap):
             try:

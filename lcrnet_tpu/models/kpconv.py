@@ -45,6 +45,30 @@ def _influence_dtype():
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
+def _map_blocks(f, xs):
+    """lax.map, unrolled on TPU.
+
+    The conv processes queries as (b*nb) independent blocks.  As a lax.map
+    (scan), every iteration pays a dynamic-slice COPY of its operand rows
+    out of the stacked input (profiler r05: ~0.06 ms x 186 iterations
+    ~= 11 ms/forward attributed to `copy` ops at the map site).  Unrolling
+    turns those into static slices that fuse into the block body (no copy);
+    the block count is static and small (4-10 per conv), so program size
+    stays bounded.  CPU keeps lax.map: compile time dominates there
+    (tests), and the golden tests pin CPU bit-stability.
+    Override with LCRNET_UNROLL_CONV_MAP=0/1."""
+    import os
+
+    v = os.environ.get("LCRNET_UNROLL_CONV_MAP")
+    unroll = (v not in ("0", "", "false")) if v is not None \
+        else jax.default_backend() == "tpu"
+    if not unroll:
+        return lax.map(f, xs)
+    n = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    ys = [f(jax.tree.map(lambda x, i=i: x[i], xs)) for i in range(n)]
+    return jax.tree.map(lambda *zs: jnp.stack(zs), *ys)
+
+
 def _kaiming_uniform(key, shape, dtype=jnp.float32):
     """Kaiming-uniform over fan_in = prod(shape[:-1]) (K*C_in for KPConv)."""
     fan_in = 1
@@ -142,7 +166,7 @@ def kpconv_influence(
         )
         return jnp.maximum(1.0 - jnp.sqrt(d2) / sigma, 0.0)    # (block, K, H)
 
-    infl = lax.map(one_block, (qp, idx, msk, cloud_of_block))
+    infl = _map_blocks(one_block, (qp, idx, msk, cloud_of_block))
     return infl.reshape(b, nb * block, k, h)[:, :m]
 
 
@@ -336,10 +360,10 @@ class KPConv(nn.Module):
             return out, pooled, (infl if return_influence else None)
 
         if pre_infl is None:
-            out, pooled, infl_out = lax.map(
+            out, pooled, infl_out = _map_blocks(
                 one_block, (qp, idx, msk, cloud_of_block))
         else:
-            out, pooled, infl_out = lax.map(
+            out, pooled, infl_out = _map_blocks(
                 one_block, (qp, idx, msk, cloud_of_block, pre_infl))
         out = out.reshape(b, nb * block, c_out)[:, :m]
         if bias is not None:

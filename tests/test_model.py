@@ -199,6 +199,35 @@ def test_kpconv_precomputed_influence_exact(rng):
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(reused))
 
 
+def test_kpconv_unrolled_map_matches_lax_map(rng, monkeypatch):
+    """The TPU path unrolls the conv's block map (static slices instead of
+    per-iteration scan operand copies, ~11 ms/forward, PROFILE_r05); the
+    unrolled program must match lax.map numerically on every output —
+    conv, shortcut maxpool, and streamed influence."""
+    from lcrnet_tpu.models.kpconv import KPConv
+
+    b, n, m, h, cin = 2, 300, 200, 12, 8
+    sf = jnp.asarray(rng.normal(size=(b, n, cin)).astype(np.float32))
+    qp = jnp.asarray(rng.uniform(-5, 5, (b, m, 3)).astype(np.float32))
+    sp = jnp.asarray(rng.uniform(-5, 5, (b, n, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, (b, m, h)))
+    msk = jnp.asarray(rng.random((b, m, h)) < 0.8)
+    aux = jnp.asarray(rng.normal(size=(b, n, 4)).astype(np.float32))
+
+    conv = KPConv(cin, 16, 15, 2.0, 1.0, query_block=64)
+    params = conv.init(jax.random.PRNGKey(0), sf, qp, sp, idx, msk)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("LCRNET_UNROLL_CONV_MAP", flag)
+        o, pooled, infl = conv.apply(
+            params, sf, qp, sp, idx, msk, aux_maxpool=aux,
+            return_influence=True)
+        outs[flag] = (np.asarray(o), np.asarray(pooled),
+                      np.asarray(infl, np.float32))
+    for a, b_ in zip(outs["0"], outs["1"]):
+        np.testing.assert_allclose(a, b_, atol=1e-5)
+
+
 def test_init_params_shape_budget_invariant():
     """`pipeline.init_params` initializes on a tiny synthetic pyramid for
     speed (pipeline.py:90-134), which is only sound while parameter shapes
